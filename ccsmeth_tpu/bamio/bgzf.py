@@ -1,0 +1,220 @@
+"""BGZF (blocked gzip) codec.
+
+First-party implementation (this environment has no pysam/htslib). BGZF is a series
+of standard gzip members, each <=64KiB uncompressed, carrying a BC extra subfield with
+the compressed block size; the file ends with a fixed 28-byte EOF member. The blocks
+are independent, which the native multithreaded codec (native/bgzf_mt.cpp) exploits;
+this module is the portable fallback and the file-format authority.
+
+Replaces the reference's reliance on pysam/htslib for BAM byte streams
+(/root/reference/ccsmeth/extract_features.py:60-73 etc.).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+_MAX_BLOCK_DATA = 65280  # uncompressed payload per block (htslib convention)
+
+
+def _parse_block_header(buf: bytes, off: int) -> tuple[int, int]:
+    """Return (xlen, bsize) for the gzip member starting at ``off``."""
+    if buf[off : off + 2] != b"\x1f\x8b":
+        raise ValueError("not a gzip/BGZF stream (bad magic)")
+    flg = buf[off + 3]
+    if not flg & 4:
+        raise ValueError("gzip member without FEXTRA: not BGZF")
+    (xlen,) = struct.unpack_from("<H", buf, off + 10)
+    # scan extra subfields for BC
+    p = off + 12
+    end = p + xlen
+    bsize = None
+    while p + 4 <= end:
+        si1, si2, slen = buf[p], buf[p + 1], struct.unpack_from("<H", buf, p + 2)[0]
+        if si1 == 66 and si2 == 67 and slen == 2:  # 'B','C'
+            bsize = struct.unpack_from("<H", buf, p + 4)[0] + 1
+        p += 4 + slen
+    if bsize is None:
+        raise ValueError("BGZF BC subfield missing")
+    return xlen, bsize
+
+
+def decompress_block(buf: bytes, off: int) -> tuple[bytes, int]:
+    """Decompress one BGZF block at byte offset ``off``; returns (data, next_off)."""
+    xlen, bsize = _parse_block_header(buf, off)
+    cdata_start = off + 12 + xlen
+    cdata_end = off + bsize - 8
+    data = zlib.decompress(buf[cdata_start:cdata_end], wbits=-15)
+    return data, off + bsize
+
+
+class BgzfReader(io.RawIOBase):
+    """Streaming BGZF reader over a file path or binary file object.
+
+    Also transparently reads plain (non-blocked) gzip and uncompressed files, since
+    the feature-TSV paths accept .gz inputs.
+    """
+
+    def __init__(self, source):
+        if isinstance(source, (str, bytes)):
+            self._fh = open(source, "rb")
+            self._own = True
+        else:
+            self._fh = source
+            self._own = False
+        self._buf = b""
+        self._buf_pos = 0
+        self._block_start = 0  # file offset of current block
+        self._eof = False
+        head = self._fh.read(18)
+        self._fh.seek(0)
+        if head[:2] != b"\x1f\x8b":
+            self._plain = True  # raw uncompressed
+        elif len(head) >= 18 and (head[3] & 4) and head[12:14] == b"BC":
+            self._plain = False  # BGZF
+        else:
+            # plain (non-blocked) gzip: wrap with stdlib streaming decompressor
+            import gzip as _gzip
+
+            self._fh = _gzip.GzipFile(fileobj=self._fh)
+            self._plain = True
+
+    # -- internals ---------------------------------------------------------------
+    def _fill(self) -> bool:
+        if self._eof:
+            return False
+        if self._plain:
+            chunk = self._fh.read(1 << 20)
+            if not chunk:
+                self._eof = True
+                return False
+            self._buf = chunk
+            self._buf_pos = 0
+            return True
+        # read one BGZF block
+        self._block_start = self._fh.tell()
+        header = self._fh.read(18)
+        if len(header) == 0:
+            self._eof = True
+            return False
+        if len(header) < 18:
+            raise ValueError("truncated BGZF block header")
+        if header[:2] != b"\x1f\x8b":
+            raise ValueError("bad BGZF magic mid-stream")
+        (xlen,) = struct.unpack_from("<H", header, 10)
+        extra = header[12:18]
+        if xlen > 6:
+            extra += self._fh.read(xlen - 6)
+        p, bsize = 0, None
+        while p + 4 <= len(extra):
+            si1, si2, slen = extra[p], extra[p + 1], struct.unpack_from("<H", extra, p + 2)[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, p + 4)[0] + 1
+            p += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF BC subfield missing")
+        cdata_len = bsize - 12 - xlen - 8
+        cdata = self._fh.read(cdata_len)
+        self._fh.read(8)  # crc32 + isize
+        data = zlib.decompress(cdata, wbits=-15)
+        if len(data) == 0:  # EOF block
+            return self._fill()
+        self._buf = data
+        self._buf_pos = 0
+        return True
+
+    # -- public ------------------------------------------------------------------
+    def readable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            chunks = [self._buf[self._buf_pos :]]
+            self._buf = b""
+            self._buf_pos = 0
+            while self._fill():
+                chunks.append(self._buf)
+                self._buf = b""
+            return b"".join(chunks)
+        out = bytearray()
+        while n > 0:
+            avail = len(self._buf) - self._buf_pos
+            if avail == 0:
+                if not self._fill():
+                    break
+                continue
+            take = min(avail, n)
+            out += self._buf[self._buf_pos : self._buf_pos + take]
+            self._buf_pos += take
+            n -= take
+        return bytes(out)
+
+    def read_exact(self, n: int) -> bytes:
+        data = self.read(n)
+        if len(data) != n:
+            raise EOFError("unexpected EOF in BGZF stream")
+        return data
+
+    def close(self) -> None:
+        if self._own:
+            self._fh.close()
+        super().close()
+
+
+class BgzfWriter(io.RawIOBase):
+    """Streaming BGZF writer (gzip members <=64KiB with BC subfield + EOF marker)."""
+
+    def __init__(self, sink, compresslevel: int = 6):
+        if isinstance(sink, (str, bytes)):
+            self._fh = open(sink, "wb")
+            self._own = True
+        else:
+            self._fh = sink
+            self._own = False
+        self._level = compresslevel
+        self._buf = bytearray()
+
+    def writable(self) -> bool:
+        return True
+
+    def write(self, data) -> int:
+        self._buf += data
+        while len(self._buf) >= _MAX_BLOCK_DATA:
+            self._flush_block(bytes(self._buf[:_MAX_BLOCK_DATA]))
+            del self._buf[:_MAX_BLOCK_DATA]
+        return len(data)
+
+    def _flush_block(self, data: bytes) -> None:
+        co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
+        cdata = co.compress(data) + co.flush()
+        bsize = len(cdata) + 12 + 6 + 8
+        if bsize > 65536:
+            # incompressible data: store with level 0
+            co = zlib.compressobj(0, zlib.DEFLATED, -15)
+            cdata = co.compress(data) + co.flush()
+            bsize = len(cdata) + 12 + 6 + 8
+        header = (
+            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+            + struct.pack("<H", 6)
+            + b"BC"
+            + struct.pack("<H", 2)
+            + struct.pack("<H", bsize - 1)
+        )
+        trailer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF)
+        self._fh.write(header + cdata + trailer)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        if len(self._buf):
+            self._flush_block(bytes(self._buf))
+            self._buf.clear()
+        self._fh.write(BGZF_EOF)
+        if self._own:
+            self._fh.close()
+        super().close()

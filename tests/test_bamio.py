@@ -1,0 +1,187 @@
+"""BGZF/BAM codec tests: roundtrips plus independent cross-checks (BGZF is valid
+multi-member gzip, so stdlib gzip must read our output byte-exactly)."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from ccsmeth_tpu.bamio import (
+    BamHeader,
+    BamReader,
+    BamRecord,
+    BamWriter,
+    BgzfReader,
+    BgzfWriter,
+    sort_bam_in_memory,
+)
+from ccsmeth_tpu.bamio.bam import decode_record, encode_record
+
+from tests.synth import make_synth_bam
+
+
+def test_bgzf_roundtrip_and_gzip_compat(tmp_path):
+    p = str(tmp_path / "x.bgzf")
+    payload = bytes(np.random.RandomState(0).randint(0, 256, size=300_000, dtype=np.uint8))
+    with BgzfWriter(p) as w:
+        for i in range(0, len(payload), 1000):
+            w.write(payload[i : i + 1000])
+    # our reader
+    r = BgzfReader(p)
+    assert r.read() == payload
+    r.close()
+    # stdlib gzip reads BGZF (concatenated members) byte-exactly
+    with gzip.open(p, "rb") as g:
+        assert g.read() == payload
+
+
+def test_bgzf_reads_plain_gzip(tmp_path):
+    p = str(tmp_path / "x.gz")
+    with gzip.open(p, "wb") as g:
+        g.write(b"hello world" * 100)
+    r = BgzfReader(p)
+    assert r.read() == b"hello world" * 100
+
+
+def test_bgzf_eof_marker(tmp_path):
+    p = str(tmp_path / "x.bgzf")
+    with BgzfWriter(p) as w:
+        w.write(b"data")
+    raw = open(p, "rb").read()
+    from ccsmeth_tpu.bamio.bgzf import BGZF_EOF
+
+    assert raw.endswith(BGZF_EOF)
+
+
+def _mk_record():
+    rng = np.random.RandomState(1)
+    rec = BamRecord(
+        qname="m123/45/ccs", flag=16, ref_id=0, pos=1000, mapq=60,
+        cigar=[(4, 5), (0, 10), (1, 2), (0, 8), (2, 3), (0, 5)],
+        rnext_id=-1, pnext=-1, tlen=0,
+        seq="ACGTNACGTACGTAACCGGTTACGTACGTT",
+        qual=np.arange(30, dtype=np.uint8),
+    )
+    rec.tags = [
+        ("fi", "BC", rng.randint(0, 256, 30).astype(np.uint8)),
+        ("fn", "i", 12),
+        ("sn", "Bf", np.array([4.5, 6.25, 7.0, 8.5], dtype=np.float32)),
+        ("RG", "Z", "rg1"),
+        ("XA", "A", "Q"),
+        ("XF", "f", 0.625),
+        ("xs", "s", -30000),
+    ]
+    return rec
+
+
+def test_bam_record_binary_roundtrip():
+    rec = _mk_record()
+    hdr = BamHeader("@SQ\tSN:c1\tLN:100000\n", [("c1", 100000)])
+    blob = encode_record(rec)
+    (size,) = struct.unpack_from("<I", blob, 0)
+    assert size == len(blob) - 4
+    rec2 = decode_record(blob[4:], hdr)
+    assert rec2.qname == rec.qname
+    assert rec2.flag == rec.flag and rec2.pos == rec.pos and rec2.mapq == rec.mapq
+    assert rec2.cigar == rec.cigar
+    assert rec2.seq == rec.seq
+    np.testing.assert_array_equal(rec2.qual, rec.qual)
+    for (t1, y1, v1), (t2, y2, v2) in zip(rec.tags, rec2.tags):
+        assert t1 == t2 and y1 == y2
+        if isinstance(v1, np.ndarray):
+            np.testing.assert_array_equal(v1, v2)
+        elif isinstance(v1, float):
+            assert abs(v1 - v2) < 1e-6
+        else:
+            assert v1 == v2
+
+
+def test_bam_file_roundtrip(tmp_path):
+    p = str(tmp_path / "t.bam")
+    hdr = BamHeader("@HD\tVN:1.6\n@SQ\tSN:c1\tLN:100000\n", [("c1", 100000)])
+    recs = [_mk_record() for _ in range(5)]
+    for i, r in enumerate(recs):
+        r.qname = "r{}".format(i)
+        r.pos = 100 * i
+    with BamWriter(p, hdr) as w:
+        for r in recs:
+            w.write(r)
+    rd = BamReader(p)
+    assert rd.header.text == hdr.text
+    assert rd.header.references == hdr.references
+    out = list(rd)
+    assert [r.qname for r in out] == ["r0", "r1", "r2", "r3", "r4"]
+    assert out[3].seq == recs[3].seq
+    rd.close()
+
+
+def test_record_derived_properties():
+    rec = _mk_record()
+    # cigar: 5S 10M 2I 8M 3D 5M -> qstart=5, qend=30, ref_len=10+8+3+5=26
+    assert rec.query_alignment_start == 5
+    assert rec.query_alignment_end == 30
+    assert rec.reference_length == 26
+    assert rec.reference_end == 1026
+    assert rec.is_reverse and not rec.is_unmapped
+    stats = rec.get_cigar_stats()
+    assert stats[0] == 23 and stats[1] == 2 and stats[2] == 3 and stats[4] == 5
+
+
+def test_forward_sequence_reverse_read():
+    rec = BamRecord(qname="q", flag=16, seq="AACG")
+    assert rec.get_forward_sequence() == "CGTT"
+
+
+def test_synth_bam_and_sort(tmp_path):
+    p = str(tmp_path / "synth.bam")
+    refseq, _ = make_synth_bam(p, n_reads=10, read_len=100, ref_len=1000)
+    rd = BamReader(p)
+    recs = list(rd)
+    assert len(recs) == 10
+    for r in recs:
+        assert len(r.get_tag("fi")) == len(r.seq)
+        assert r.get_tag("fn") >= 3
+        # aligned all-M reads must match the reference substring
+        sub = refseq[r.pos : r.pos + 100]
+        if r.is_reverse:
+            from ccsmeth_tpu.utils.codecs import complement_seq
+
+            assert r.seq == complement_seq(sub)
+        else:
+            assert r.seq == sub
+    # shuffle + sort
+    p2 = str(tmp_path / "shuffled.bam")
+    rng = np.random.RandomState(3)
+    order = rng.permutation(len(recs))
+    with BamWriter(p2, rd.header) as w:
+        for i in order:
+            w.write(recs[i])
+    p3 = str(tmp_path / "sorted.bam")
+    sort_bam_in_memory(p2, p3)
+    poss = [r.pos for r in BamReader(p3)]
+    assert poss == sorted(poss)
+
+
+def test_sam_text_reader(tmp_path):
+    p = str(tmp_path / "t.sam")
+    with open(p, "w") as f:
+        f.write("@HD\tVN:1.6\n@SQ\tSN:c1\tLN:1000\n")
+        f.write("r1\t0\tc1\t101\t60\t4M\t*\t0\t0\tACGT\tIIII\t"
+                "fn:i:7\tsn:B:f,1.5,2.5,3.5,4.5\tfi:B:C,1,2,3,4\tRG:Z:x\n")
+    rd = BamReader(p)
+    recs = list(rd)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.qname == "r1" and r.pos == 100 and r.cigar == [(0, 4)]
+    assert r.get_tag("fn") == 7
+    np.testing.assert_array_equal(r.get_tag("fi"), np.array([1, 2, 3, 4], dtype=np.uint8))
+    np.testing.assert_allclose(r.get_tag("sn"), [1.5, 2.5, 3.5, 4.5])
+    assert r.qual is not None and r.qual[0] == 40
+
+
+def test_header_add_pg():
+    hdr = BamHeader("@HD\tVN:1.6\n@PG\tID:ccs\tPN:ccs\n", [])
+    h2 = hdr.add_pg("ccsmeth_tpu", "ccsmeth_tpu", "0.1.0", "call_mods ...")
+    assert "@PG\tID:ccsmeth_tpu\tPN:ccsmeth_tpu\tPP:ccs" in h2.text
+    assert h2.text.count("@PG") == 2
