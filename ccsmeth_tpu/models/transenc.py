@@ -1,0 +1,163 @@
+"""transencoder2s in JAX (parity with ModelTransEnc, /root/reference/ccsmeth/models.py:451-620).
+
+torch TransformerEncoderLayer semantics reproduced: post-LayerNorm ("norm_first=False"),
+ReLU feed-forward, standard multi-head scaled-dot attention with packed qkv projections.
+All matmuls are MXU-shaped (B*L, d) @ (d, d).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import (
+    MAX_KINETICS,
+    MAX_MAP,
+    MAX_PASSES,
+    NEMBED_BASE,
+    NEMBED_KINETICS,
+    NEMBED_KINETICS_STD,
+    NEMBED_MAP,
+    NEMBED_PASSES,
+    NEMBED_SN,
+    N_VOCAB,
+)
+from .attrnn import _dropout, apply_src_embed, init_src_embed, _lin_init
+from .config import TransEncConfig
+
+
+def init_transenc(seed: int, cfg: TransEncConfig) -> dict:
+    rng = np.random.RandomState(seed)
+    d = cfg.d_model
+    nembed_all = NEMBED_BASE + 2 * NEMBED_KINETICS
+    params: dict = {
+        "seq_embed": rng.uniform(-0.1, 0.1, (N_VOCAB, NEMBED_BASE)).astype(np.float32),
+        "ipd_embed": rng.uniform(-0.1, 0.1, (MAX_KINETICS + 1, NEMBED_KINETICS)).astype(np.float32),
+        "pw_embed": rng.uniform(-0.1, 0.1, (MAX_KINETICS + 1, NEMBED_KINETICS)).astype(np.float32),
+        "pos_embed": rng.normal(0, 1, (cfg.seq_len, d)).astype(np.float32),
+        "classifier": [
+            _lin_init(rng, d * 2, d * 2, initrange=0.1),
+            _lin_init(rng, d * 2, cfg.num_classes, initrange=0.1),
+        ],
+        "layers": [],
+    }
+    if cfg.is_npass:
+        params["npass_embed"] = rng.uniform(-0.1, 0.1, (MAX_PASSES + 1, NEMBED_PASSES)).astype(np.float32)
+        nembed_all += NEMBED_PASSES
+    if cfg.is_stds:
+        params["ipd_std_embed"] = init_src_embed(rng, 1, NEMBED_KINETICS_STD, 1)
+        params["pw_std_embed"] = init_src_embed(rng, 1, NEMBED_KINETICS_STD, 1)
+        nembed_all += 2 * NEMBED_KINETICS_STD
+    if cfg.is_sn:
+        params["sn_embed"] = init_src_embed(rng, 4, NEMBED_SN, 0)
+        nembed_all += NEMBED_SN
+    if cfg.is_map:
+        params["map_embed"] = rng.uniform(-0.1, 0.1, (MAX_MAP, NEMBED_MAP)).astype(np.float32)
+        nembed_all += NEMBED_MAP
+    params["trans_input"] = init_src_embed(rng, nembed_all, d, 1)
+
+    def lin(fi, fo):
+        k = 1.0 / math.sqrt(fi)
+        return {"w": rng.uniform(-k, k, (fi, fo)).astype(np.float32),
+                "b": rng.uniform(-k, k, (fo,)).astype(np.float32)}
+
+    for _ in range(cfg.num_layers):
+        # torch MHA in_proj uses xavier_uniform; exactness not needed for fresh init
+        lim = math.sqrt(6.0 / (2 * d))
+        params["layers"].append({
+            "wq": rng.uniform(-lim, lim, (d, d)).astype(np.float32), "bq": np.zeros(d, np.float32),
+            "wk": rng.uniform(-lim, lim, (d, d)).astype(np.float32), "bk": np.zeros(d, np.float32),
+            "wv": rng.uniform(-lim, lim, (d, d)).astype(np.float32), "bv": np.zeros(d, np.float32),
+            "wo": lin(d, d)["w"], "bo": np.zeros(d, np.float32),
+            "lin1": lin(d, cfg.dim_ff), "lin2": lin(cfg.dim_ff, d),
+            "ln1": {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)},
+            "ln2": {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)},
+        })
+    return params
+
+
+def _layer_norm(x, p, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _mha(lp, x, nhead):
+    B, L, d = x.shape
+    hd = d // nhead
+    q = (jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32) + lp["bq"]).reshape(B, L, nhead, hd)
+    k = (jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32) + lp["bk"]).reshape(B, L, nhead, hd)
+    v = (jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32) + lp["bv"]).reshape(B, L, nhead, hd)
+    scores = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32) / math.sqrt(hd)
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", w, v, preferred_element_type=jnp.float32).reshape(B, L, d)
+    return jnp.dot(ctx, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
+
+
+def _encoder(params, cfg: TransEncConfig, x, dropout_rng, train):
+    for lp in params["layers"]:
+        a = _mha(lp, x, cfg.nhead)
+        if train:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            a = _dropout(a, cfg.dropout_rate, sub)
+        x = _layer_norm(x + a, lp["ln1"])
+        h = jax.nn.relu(jnp.dot(x, lp["lin1"]["w"], preferred_element_type=jnp.float32) + lp["lin1"]["b"])
+        if train:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            h = _dropout(h, cfg.dropout_rate, sub)
+        h = jnp.dot(h, lp["lin2"]["w"], preferred_element_type=jnp.float32) + lp["lin2"]["b"]
+        if train:
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            h = _dropout(h, cfg.dropout_rate, sub)
+        x = _layer_norm(x + h, lp["ln2"])
+    return x
+
+
+def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train):
+    L = cfg.seq_len
+    parts = [
+        jnp.take(params["seq_embed"], f["kmer" + suffix].astype(jnp.int32), axis=0),
+        jnp.take(params["ipd_embed"], f["ipd_means" + suffix].astype(jnp.int32), axis=0),
+        jnp.take(params["pw_embed"], f["pw_means" + suffix].astype(jnp.int32), axis=0),
+    ]
+    if cfg.is_npass:
+        kp = jnp.clip(f["kpass" + suffix], 1, MAX_PASSES).astype(jnp.int32)
+        parts.append(jnp.take(params["npass_embed"], kp, axis=0))
+    if cfg.is_stds:
+        parts.append(apply_src_embed(params["ipd_std_embed"],
+                                     f["ipd_stds" + suffix].reshape(-1, L, 1).astype(jnp.float32), train))
+        parts.append(apply_src_embed(params["pw_std_embed"],
+                                     f["pw_stds" + suffix].reshape(-1, L, 1).astype(jnp.float32), train))
+    if cfg.is_sn:
+        sns = jnp.broadcast_to(f["sns" + suffix][:, None, :],
+                               (f["sns" + suffix].shape[0], L, 4)).astype(jnp.float32)
+        parts.append(apply_src_embed(params["sn_embed"], sns, train))
+    if cfg.is_map:
+        parts.append(jnp.take(params["map_embed"], f["maps" + suffix].astype(jnp.int32), axis=0))
+    x = jnp.concatenate(parts, axis=2)
+    x = apply_src_embed(params["trans_input"], x, train)
+    x = x + params["pos_embed"][None, :, :]
+    if train:
+        dropout_rng, sub = jax.random.split(dropout_rng)
+        x = _dropout(x, cfg.dropout_rate, sub)
+    x = _encoder(params, cfg, x, dropout_rng, train)
+    return jnp.mean(x, axis=1)  # (N, d) (models.py:601,615)
+
+
+def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
+                   dropout_rng=None, train: bool = False):
+    rng1 = rng2 = rng3 = None
+    if dropout_rng is not None:
+        rng1, rng2, rng3 = jax.random.split(dropout_rng, 3)
+    out1 = _strand_embed(params, cfg, feats, "", rng1, train)
+    out2 = _strand_embed(params, cfg, feats, "2", rng2, train)
+    out = jnp.concatenate([out1, out2], axis=1)
+    c0p, c1p = params["classifier"]
+    out = jax.nn.relu(jnp.dot(out, c0p["w"], preferred_element_type=jnp.float32) + c0p["b"])
+    if train:
+        out = _dropout(out, cfg.dropout_rate, rng3)
+    logits = jnp.dot(out, c1p["w"], preferred_element_type=jnp.float32) + c1p["b"]
+    return logits, jax.nn.softmax(logits, axis=1)
