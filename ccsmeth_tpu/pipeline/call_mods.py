@@ -1,0 +1,414 @@
+"""call_mods: BAM/SAM (or features TSV) -> modbam (or per_readsite TSV).
+
+Replaces the reference's 4-stage multiprocessing-queue graph
+(/root/reference/ccsmeth/call_modifications.py:474-613) with a threaded
+prefetch pipeline around ONE jitted device step:
+
+  reader+extractor thread(s)  ->  bounded queue of padded FeatureBatches
+  main thread                 ->  jitted data-parallel model step (device)
+  writer thread               ->  MM/ML tagging + BAM encode
+
+Batches are padded to a fixed (batch_size) shape so the step never recompiles;
+padded rows are masked out on the host. Per-read grouping for MM-tag assembly rides
+the batch's read_idx column instead of string sampleinfo rows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+import queue
+import sys
+import threading
+import time
+
+import numpy as np
+
+from ..bamio import BamReader, BamWriter, sort_bam_in_memory
+from ..features import ExtractConfig, batch_from_reads, extract_read_features
+from ..features.batch import FeatureBatch
+from ..models import AttRNNConfig, TransEncConfig, apply_attrnn, torch_ckpt_to_params
+from ..models.params_io import load_params
+from ..models.transenc import apply_transenc
+from ..parallel.mesh import data_mesh, make_predict_fn
+from ..utils.codecs import get_motif_seqs
+from ..utils.constants import CODE2BASE_DNA
+from ..utils.fasta import DNAReference
+from ..utils.logging import mylogger
+from .modbam import add_mm_ml_to_record
+from .._version import __version__
+
+LOGGER = mylogger(__name__)
+
+
+@dataclasses.dataclass
+class CallModsConfig:
+    model_file: str = ""
+    model_type: str = "attbigru2s"
+    seq_len: int = 21
+    is_npass: bool = True
+    is_stds: bool = False
+    is_sn: bool = False
+    is_map: bool = False
+    class_num: int = 2
+    dropout_rate: float = 0.0
+    batch_size: int = 512
+    layer_rnn: int = 3
+    hid_rnn: int = 256
+    layer_trans: int = 6
+    nhead: int = 4
+    d_model: int = 256
+    dim_ff: int = 512
+    holes_batch: int = 50
+    keep_pulse: bool = False
+    no_sort: bool = False
+    threads: int = 4
+    # extraction options
+    mode: str = "denovo"
+    ref: str | None = None
+    motifs: str = "CG"
+    mod_loc: int = 0
+    methy_label: int = 1
+    norm: str = "zscore"
+    no_decode: bool = False
+    mapq: int = 1
+    identity: float = 0.0
+    no_supplementary: bool = False
+    skip_unmapped: bool = True
+    holeids_e: str | None = None
+    holeids_ne: str | None = None
+    gzip_out: bool = False
+
+    def extract_config(self) -> ExtractConfig:
+        return ExtractConfig(
+            mode=self.mode, seq_len=self.seq_len, motifs=self.motifs,
+            mod_loc=self.mod_loc, methy_label=self.methy_label, norm=self.norm,
+            no_decode=self.no_decode, is_sn=self.is_sn, is_map=self.is_map,
+            mapq=self.mapq, identity=self.identity,
+            no_supplementary=self.no_supplementary, skip_unmapped=self.skip_unmapped,
+            holes_batch=self.holes_batch,
+        )
+
+    def model_config(self):
+        if self.model_type in ("attbigru2s", "attbilstm2s", "attbigru2s2",
+                               "attbilstm2s2", "attbigru1s", "attbilstm1s"):
+            return AttRNNConfig(
+                seq_len=self.seq_len, num_layers=self.layer_rnn,
+                num_classes=self.class_num, dropout_rate=0.0,
+                hidden_size=self.hid_rnn, is_npass=self.is_npass, is_sn=self.is_sn,
+                is_map=self.is_map, is_stds=self.is_stds, model_type=self.model_type,
+            )
+        if self.model_type == "transencoder2s":
+            return TransEncConfig(
+                seq_len=self.seq_len, num_layers=self.layer_trans,
+                num_classes=self.class_num, dropout_rate=0.0, d_model=self.d_model,
+                nhead=self.nhead, dim_ff=self.dim_ff, is_npass=self.is_npass,
+                is_sn=self.is_sn, is_map=self.is_map, is_stds=self.is_stds,
+            )
+        raise ValueError("--model_type not right!")
+
+
+def load_model_params(model_file: str, model_cfg):
+    """Load a native .npz checkpoint or convert a reference torch .ckpt."""
+    if model_file.endswith(".npz"):
+        return load_params(model_file)
+    return torch_ckpt_to_params(model_file, model_cfg)
+
+
+def _get_holes(path: str) -> set:
+    holes = set()
+    with open(path) as rf:
+        for line in rf:
+            holes.add(line.strip().split("\t")[0])
+    return holes
+
+
+def _apply_for(model_cfg):
+    if isinstance(model_cfg, TransEncConfig):
+        return lambda params, cfg, feats: apply_transenc(params, cfg, feats)
+    return lambda params, cfg, feats: apply_attrnn(params, cfg, feats)
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    return np.around(x.astype(np.float64), 6)
+
+
+class _Stats:
+    def __init__(self):
+        self.reads_in = 0
+        self.reads_failed = 0
+        self.sites = 0
+        self.reads_written = 0
+        self.reads_tagged = 0
+
+
+def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> str:
+    """BAM/SAM -> [prefix].modbam.bam. Returns the output path."""
+    t_start = time.time()
+    out_modbam = output_prefix + ".modbam.bam"
+    model_cfg = cfg.model_config()
+    params = load_model_params(cfg.model_file, model_cfg)
+    predict = make_predict_fn(_apply_for(model_cfg), params, model_cfg)
+    n_dev = len(data_mesh().devices.ravel())
+    pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
+
+    dnacontigs = None
+    if cfg.mode == "align":
+        if cfg.ref is None:
+            raise ValueError("--ref must be provided when using align mode!")
+        dnacontigs = DNAReference(cfg.ref).getcontigs()
+    motifs = get_motif_seqs(cfg.motifs)
+    holeids_e = _get_holes(cfg.holeids_e) if cfg.holeids_e else None
+    holeids_ne = _get_holes(cfg.holeids_ne) if cfg.holeids_ne else None
+    ecfg = cfg.extract_config()
+
+    reader = BamReader(input_path)
+    refnames = [r[0] for r in reader.header.references]
+    out_header = reader.header.add_pg("ccsmeth_tpu", "ccsmeth_tpu", __version__,
+                                      " ".join(sys.argv) or "call_mods")
+    stats = _Stats()
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=8)
+    write_q: "queue.Queue" = queue.Queue(maxsize=16)
+    err: list[BaseException] = []
+
+    def produce():
+        try:
+            holebatch = []
+            for rec in reader:
+                holebatch.append(rec)
+                if len(holebatch) >= cfg.holes_batch:
+                    batch_q.put(holebatch)
+                    holebatch = []
+            if holebatch:
+                batch_q.put(holebatch)
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+        finally:
+            batch_q.put(None)
+
+    def write():
+        try:
+            writer = BamWriter(out_modbam, out_header)
+            while True:
+                item = write_q.get()
+                if item is None:
+                    break
+                for rec, tagged in item:
+                    writer.write(rec)
+                    stats.reads_written += 1
+                    stats.reads_tagged += int(tagged)
+            writer.close()
+        except BaseException as e:  # noqa: BLE001
+            err.append(e)
+
+    t_prod = threading.Thread(target=produce, daemon=True)
+    t_write = threading.Thread(target=write, daemon=True)
+    t_prod.start()
+    t_write.start()
+
+    rm_pulse = not cfg.keep_pulse
+    while True:
+        holebatch = batch_q.get()
+        if holebatch is None:
+            break
+        if err:
+            break
+        stats.reads_in += len(holebatch)
+        feats_per_read = []
+        for rec in holebatch:
+            refname = refnames[rec.ref_id] if rec.ref_id >= 0 else None
+            try:
+                rf = extract_read_features(rec, motifs, ecfg, dnacontigs,
+                                           holeids_e, holeids_ne, refname)
+            except Exception as e:  # noqa: BLE001  (reference counts per-read failures)
+                LOGGER.warning("%s: %s in read:%s", type(e).__name__, e, rec.qname)
+                rf = None
+            if rf is None:
+                stats.reads_failed += 1
+            feats_per_read.append(rf)
+        # predictions per read index
+        read_preds: dict[int, list[tuple[int, float]]] = {}
+        kept = [(i, rf) for i, rf in enumerate(feats_per_read) if rf is not None]
+        batch = batch_from_reads([rf for _i, rf in kept], cfg.seq_len)
+        if batch is not None:
+            idx_map = np.array([i for i, _rf in kept], dtype=np.int64)
+            stats.sites += len(batch)
+            for s in range(0, len(batch), pad_n):
+                sub = _slice_batch(batch, s, min(s + pad_n, len(batch))).pad_to(pad_n)
+                probs = predict(sub.model_feats())[: sub.n_valid]
+                p0 = probs[:, 0].astype(np.float64)
+                p1 = probs[:, 1].astype(np.float64)
+                p1n = p1 / (p0 + p1)
+                for j in range(sub.n_valid):
+                    ridx = int(idx_map[sub.read_idx[j]])
+                    read_preds.setdefault(ridx, []).append(
+                        (int(sub.locs[j]), round(float(p1n[j]), 6)))
+        out_items = []
+        for i, rec in enumerate(holebatch):
+            tagged = add_mm_ml_to_record(rec, read_preds.get(i, []), rm_pulse)
+            out_items.append((rec, tagged))
+        write_q.put(out_items)
+
+    t_prod.join()
+    write_q.put(None)
+    t_write.join()
+    reader.close()
+    if err:
+        raise err[0]
+
+    if not cfg.no_sort:
+        LOGGER.info("sorting modbam file..")
+        tmp_sorted = os.path.splitext(out_modbam)[0] + ".sorted.bam"
+        sort_bam_in_memory(out_modbam, tmp_sorted)
+        os.replace(tmp_sorted, out_modbam)
+    LOGGER.info(
+        "call_mods finished: %d reads in (%d failed), %d sites, %d written (%d tagged),"
+        " %.1fs", stats.reads_in, stats.reads_failed, stats.sites,
+        stats.reads_written, stats.reads_tagged, time.time() - t_start)
+    return out_modbam
+
+
+def _slice_batch(batch: FeatureBatch, s: int, e: int) -> FeatureBatch:
+    kw = {}
+    for f in dataclasses.fields(FeatureBatch):
+        if f.name == "n_valid":
+            continue
+        kw[f.name] = getattr(batch, f.name)[s:e]
+    return FeatureBatch(**kw, n_valid=e - s)
+
+
+# ---------------------------------------------------------------------------------------
+# TSV path (features.tsv -> per_readsite.tsv; parity with
+# /root/reference/ccsmeth/_call_modifications_txt.py:121-265,337-357)
+# ---------------------------------------------------------------------------------------
+
+
+def _parse_tsv_batch(rows: list[list[str]], seq_len: int, holeids_e, holeids_ne):
+    """Parse TSV rows into a FeatureBatch + sampleinfo, center-truncating kmers to
+    seq_len (reference lines 159-196)."""
+    if not rows:
+        return None, []
+    oriklen = len(rows[0][5])
+    if oriklen == seq_len:
+        lc, rc = 0, oriklen
+    elif oriklen > seq_len:
+        lc = (oriklen - seq_len) // 2
+        rc = oriklen - lc
+    else:
+        return None, []
+    from ..utils.constants import BASE2CODE_DNA
+
+    sampleinfo = []
+    cols = {k: [] for k in (
+        "kmer", "kpass", "ipd_means", "pw_means", "sns", "maps",
+        "kmer2", "kpass2", "ipd_means2", "pw_means2", "sns2", "maps2",
+        "ipd_stds", "pw_stds", "ipd_stds2", "pw_stds2", "labels")}
+
+    def vec(txt, n):
+        if txt == ".":
+            return np.zeros(n, np.float32)
+        return np.asarray([float(x) for x in txt.split(",")][lc:rc], dtype=np.float32)
+
+    for w in rows:
+        if holeids_e is not None and w[3] not in holeids_e:
+            continue
+        if holeids_ne is not None and w[3] in holeids_ne:
+            continue
+        sampleinfo.append(w[0:5])
+        n = seq_len
+        cols["kmer"].append(np.asarray([BASE2CODE_DNA[c] for c in w[5][lc:rc]], np.float32))
+        cols["kpass"].append(np.full(n, float(int(w[6])), np.float32))
+        cols["ipd_means"].append(vec(w[7], n))
+        cols["ipd_stds"].append(vec(w[8], n))
+        cols["pw_means"].append(vec(w[9], n))
+        cols["pw_stds"].append(vec(w[10], n))
+        sn = w[11]
+        cols["sns"].append(np.zeros(4, np.float32) if sn == "." else
+                           np.asarray([float(x) for x in sn.split(",")], np.float32))
+        cols["maps"].append(vec(w[12], n))
+        cols["kmer2"].append(np.asarray([BASE2CODE_DNA[c] for c in w[13][lc:rc]], np.float32))
+        cols["kpass2"].append(np.full(n, float(int(w[14])), np.float32))
+        cols["ipd_means2"].append(vec(w[15], n))
+        cols["ipd_stds2"].append(vec(w[16], n))
+        cols["pw_means2"].append(vec(w[17], n))
+        cols["pw_stds2"].append(vec(w[18], n))
+        sn2 = w[19]
+        cols["sns2"].append(np.zeros(4, np.float32) if sn2 == "." else
+                            np.asarray([float(x) for x in sn2.split(",")], np.float32))
+        cols["maps2"].append(vec(w[20], n))
+        cols["labels"].append(int(w[21]))
+    if not sampleinfo:
+        return None, []
+    N = len(sampleinfo)
+    batch = FeatureBatch(
+        read_idx=np.zeros(N, np.int32), locs=np.zeros(N, np.int64),
+        chrom_pos=np.zeros(N, np.int64),
+        **{k: np.stack(v).astype(np.float32) if k != "labels" else np.asarray(v, np.int32)
+           for k, v in cols.items()},
+        n_valid=N,
+    )
+    return batch, sampleinfo
+
+
+def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> str:
+    """features TSV(.gz) -> [prefix].per_readsite.tsv(.gz).
+
+    Output row parity with _call_modifications_txt.py:253-265: sampleinfo(5 cols),
+    "fpass,rpass", prob_0, prob_1, called_label, center 5-mer.
+    """
+    out_path = output_prefix + ".per_readsite.tsv"
+    model_cfg = cfg.model_config()
+    params = load_model_params(cfg.model_file, model_cfg)
+    predict = make_predict_fn(_apply_for(model_cfg), params, model_cfg)
+    n_dev = len(data_mesh().devices.ravel())
+    pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
+    holeids_e = _get_holes(cfg.holeids_e) if cfg.holeids_e else None
+    holeids_ne = _get_holes(cfg.holeids_ne) if cfg.holeids_ne else None
+
+    opener = gzip.open if input_path.endswith(".gz") else open
+    if cfg.gzip_out:
+        out_path += ".gz"
+        wf = gzip.open(out_path, "wt")
+    else:
+        wf = open(out_path, "w")
+    rows: list[list[str]] = []
+    with opener(input_path, "rt") as rf:
+        for line in rf:
+            w = line.rstrip("\n").split("\t")
+            if len(w) < 22:
+                continue
+            rows.append(w)
+            if len(rows) >= cfg.batch_size * 4:
+                _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf)
+                rows = []
+        if rows:
+            _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf)
+    wf.close()
+    return out_path
+
+
+def _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf):
+    batch, sampleinfo = _parse_tsv_batch(rows, cfg.seq_len, holeids_e, holeids_ne)
+    if batch is None:
+        return
+    for s in range(0, len(batch), pad_n):
+        sub = _slice_batch(batch, s, min(s + pad_n, len(batch))).pad_to(pad_n)
+        probs = predict(sub.model_feats())[: sub.n_valid]
+        predicted = np.argmax(probs, axis=1)
+        for j in range(sub.n_valid):
+            i = s + j
+            p0 = float(probs[j, 0])
+            p1 = float(probs[j, 1])
+            prob_0_norm = round(p0 / (p0 + p1), 6)
+            prob_1_norm = round(1 - prob_0_norm, 6)
+            kmer = "".join(CODE2BASE_DNA[int(c)] for c in sub.kmer[j])
+            center = len(kmer) // 2
+            ks = max(center - 2, 0)
+            ke = min(center + 3, len(kmer))
+            wf.write("\t".join(
+                sampleinfo[i]
+                + ["{},{}".format(int(sub.kpass[j, 0]), int(sub.kpass2[j, 0])),
+                   str(prob_0_norm), str(prob_1_norm), str(int(predicted[j])),
+                   kmer[ks:ke]]) + "\n")
