@@ -1,0 +1,292 @@
+"""Unified training loop on a device mesh.
+
+One code path covers the reference's `train` (single host, train.py:32-340) and
+`trainm` (DDP/NCCL, train_multigpu.py:86-489): the batch is sharded on the mesh's
+'data' axis, params/optimizer state are replicated, and XLA's gradient psum replaces
+DDP all-reduce. Multi-host runs call jax.distributed.initialize first and shard
+batches per host (DistributedSampler analog in data.py).
+
+Loop semantics parity (train.py): weighted CE [1, pos_weight], grad-clip 0.5,
+validation every step_interval with accuracy/precision/recall, checkpoint on
+best-accuracy (tolerance 2e-4) named '{model_type}.b{seq_len}_epoch{N}.ckpt.npz'
+(+ betterthanlast), StepLR/ReduceLROnPlateau, early stop after an epoch without a
+new best once min_epoch_num is reached.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import AttRNNConfig, TransEncConfig, apply_attrnn, init_attrnn
+from ..models.convert import torch_ckpt_to_params
+from ..models.params_io import load_params, save_params
+from ..models.transenc import apply_transenc, init_transenc
+from ..parallel.mesh import data_mesh, replicated_spec, shard_batch_spec
+from ..utils.logging import mylogger
+from .data import FeatureDataset
+from .optim import LrSchedule, build_optimizer, set_learning_rate
+
+LOGGER = mylogger(__name__)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    train_file: str = ""
+    valid_file: str = ""
+    model_dir: str = ""
+    model_type: str = "attbigru2s"
+    seq_len: int = 21
+    is_npass: bool = True
+    is_sn: bool = False
+    is_map: bool = False
+    is_stds: bool = False
+    class_num: int = 2
+    dropout_rate: float = 0.5
+    layer_rnn: int = 3
+    hid_rnn: int = 256
+    layer_trans: int = 6
+    nhead: int = 4
+    d_model: int = 256
+    dim_ff: int = 512
+    optim_type: str = "Adam"
+    batch_size: int = 512
+    lr_scheduler: str = "StepLR"
+    lr: float = 0.001
+    lr_decay: float = 0.1
+    lr_decay_step: int = 1
+    lr_patience: int = 0
+    lr_mode_strategy: str = "last"
+    max_epoch_num: int = 50
+    min_epoch_num: int = 10
+    pos_weight: float = 1.0
+    step_interval: int = 500
+    init_model: str | None = None
+    tseed: int = 1234
+    # distributed (trainm parity: nodes/node_rank replaced by jax.distributed)
+    dist_coordinator: str | None = None  # e.g. "10.0.0.1:1234"
+    num_processes: int = 1
+    process_id: int = 0
+
+    def model_config(self):
+        if self.model_type == "transencoder2s":
+            return TransEncConfig(
+                seq_len=self.seq_len, num_layers=self.layer_trans,
+                num_classes=self.class_num, dropout_rate=self.dropout_rate,
+                d_model=self.d_model, nhead=self.nhead, dim_ff=self.dim_ff,
+                is_npass=self.is_npass, is_sn=self.is_sn, is_map=self.is_map,
+                is_stds=self.is_stds)
+        return AttRNNConfig(
+            seq_len=self.seq_len, num_layers=self.layer_rnn,
+            num_classes=self.class_num, dropout_rate=self.dropout_rate,
+            hidden_size=self.hid_rnn, is_npass=self.is_npass, is_sn=self.is_sn,
+            is_map=self.is_map, is_stds=self.is_stds, model_type=self.model_type)
+
+
+def _apply_fn(model_cfg):
+    if isinstance(model_cfg, TransEncConfig):
+        return apply_transenc
+    return apply_attrnn
+
+
+def _init_params(cfg: TrainConfig, model_cfg):
+    if cfg.init_model:
+        LOGGER.info("loading pre-trained model: %s", cfg.init_model)
+        if cfg.init_model.endswith(".npz"):
+            return load_params(cfg.init_model)
+        return torch_ckpt_to_params(cfg.init_model, model_cfg)
+    if isinstance(model_cfg, TransEncConfig):
+        return init_transenc(cfg.tseed, model_cfg)
+    return init_attrnn(cfg.tseed, model_cfg)
+
+
+def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None):
+    """Build the jitted sharded train step: (params, opt_state, feats, labels,
+    valid_mask, rng) -> (params, opt_state, loss)."""
+    if mesh is None:
+        mesh = data_mesh()
+    batch_s = shard_batch_spec(mesh)
+    rep = replicated_spec(mesh)
+    apply_ = _apply_fn(model_cfg)
+    class_weights = jnp.array([1.0, pos_weight], jnp.float32)
+
+    def loss_fn(params, feats, labels, mask, rng):
+        logits, _probs = apply_(params, model_cfg, feats, dropout_rng=rng, train=True)
+        per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        w = class_weights[labels] * mask
+        # torch CrossEntropyLoss(weight=..) mean = sum(w_i * l_i) / sum(w_i)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
+
+    def step(params, opt_state, feats, labels, mask, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, labels, mask, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    in_shardings = (rep, rep, batch_s, batch_s, batch_s, rep)
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=(rep, rep, rep)), mesh
+
+
+def make_eval_step(model_cfg, pos_weight: float, mesh=None):
+    if mesh is None:
+        mesh = data_mesh()
+    batch_s = shard_batch_spec(mesh)
+    rep = replicated_spec(mesh)
+    apply_ = _apply_fn(model_cfg)
+    class_weights = jnp.array([1.0, pos_weight], jnp.float32)
+
+    def step(params, feats, labels, mask):
+        logits, probs = apply_(params, model_cfg, feats)
+        per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        w = class_weights[labels] * mask
+        loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
+        pred = jnp.argmax(probs, axis=1)
+        return loss, pred
+
+    return jax.jit(step, in_shardings=(rep, batch_s, batch_s, batch_s),
+                   out_shardings=(rep, batch_s)), mesh
+
+
+def binary_metrics(labels: np.ndarray, preds: np.ndarray) -> tuple[float, float, float]:
+    """accuracy, precision, recall (sklearn-equivalent, positive class 1)."""
+    labels = np.asarray(labels)
+    preds = np.asarray(preds)
+    acc = float(np.mean(labels == preds)) if len(labels) else 0.0
+    tp = int(np.sum((preds == 1) & (labels == 1)))
+    fp = int(np.sum((preds == 1) & (labels == 0)))
+    fn = int(np.sum((preds == 0) & (labels == 1)))
+    prec = tp / (tp + fp) if (tp + fp) else 0.0
+    rec = tp / (tp + fn) if (tp + fn) else 0.0
+    return acc, prec, rec
+
+
+def train(cfg: TrainConfig) -> dict:
+    """Run training; returns {'best_accuracy', 'best_epoch', 'ckpts': [...]}."""
+    t0 = time.time()
+    if cfg.dist_coordinator:
+        jax.distributed.initialize(cfg.dist_coordinator, cfg.num_processes,
+                                   cfg.process_id)
+
+    model_cfg = cfg.model_config()
+    model_dir = cfg.model_dir
+    if model_dir != "/":
+        model_dir = os.path.abspath(model_dir).rstrip("/")
+        os.makedirs(model_dir, exist_ok=True)
+        # clear stale ckpts of this model_type (train.py:77-80)
+        rx = re.compile(r"" + cfg.model_type + r"\..*b\d+_epoch\d+\.ckpt.*")
+        for mfile in os.listdir(model_dir):
+            if rx.match(mfile):
+                os.remove(os.path.join(model_dir, mfile))
+        model_dir += "/"
+
+    LOGGER.info("reading data..")
+    train_ds = FeatureDataset.from_tsv(cfg.train_file, cfg.seq_len)
+    valid_ds = FeatureDataset.from_tsv(cfg.valid_file, cfg.seq_len)
+
+    params = _init_params(cfg, model_cfg)
+    optimizer = build_optimizer(cfg.optim_type, cfg.lr)
+    mesh = data_mesh()
+    n_dev = mesh.devices.size
+    pad_n = -(-cfg.batch_size // n_dev) * n_dev
+    train_step, _ = make_train_step(model_cfg, optimizer, cfg.pos_weight, mesh)
+    eval_step, _ = make_eval_step(model_cfg, cfg.pos_weight, mesh)
+    opt_state = optimizer.init(params)
+    sched = LrSchedule(cfg.lr_scheduler, cfg.lr, cfg.lr_decay, cfg.lr_decay_step,
+                       cfg.lr_patience, cfg.lr_mode_strategy)
+    rng = jax.random.PRNGKey(cfg.tseed)
+    nprng = np.random.RandomState(cfg.tseed)
+
+    total_step = -(-len(train_ds) // cfg.batch_size)
+    LOGGER.info("total_step: %d", total_step)
+    curr_best_accuracy = 0.0
+    curr_best_loc = 0
+    best_epoch_accs: list[float] = []
+    ckpts: list[str] = []
+    is_main = jax.process_index() == 0
+
+    def run_valid(params):
+        vlosses, vl, vp = [], [], []
+        for feats, labels, n_valid in valid_ds.batches(cfg.batch_size, False, nprng,
+                                                       pad_to=pad_n):
+            mask = np.zeros(pad_n, np.float32)
+            mask[:n_valid] = 1.0
+            loss, pred = eval_step(params, feats, labels.astype(np.int32), mask)
+            vlosses.append(float(loss))
+            vl.append(labels[:n_valid])
+            vp.append(np.asarray(pred)[:n_valid])
+        labels_all = np.concatenate(vl) if vl else np.empty(0)
+        preds_all = np.concatenate(vp) if vp else np.empty(0)
+        acc, prec, rec = binary_metrics(labels_all, preds_all)
+        return float(np.mean(vlosses)) if vlosses else 0.0, acc, prec, rec
+
+    stop = False
+    for epoch in range(cfg.max_epoch_num):
+        curr_best_epoch = 0.0
+        accs_per_epoch: list[float] = []
+        no_best_model = True
+        tlosses: list[float] = []
+        start = time.time()
+        shard = ((cfg.process_id, cfg.num_processes)
+                 if cfg.num_processes > 1 else None)
+        i = -1
+        for feats, labels, n_valid in train_ds.batches(cfg.batch_size, True, nprng,
+                                                       pad_to=pad_n, shard=shard):
+            i += 1
+            mask = np.zeros(pad_n, np.float32)
+            mask[:n_valid] = 1.0
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = train_step(params, opt_state, feats,
+                                                 labels.astype(np.int32), mask, sub)
+            tlosses.append(float(loss))
+            if (i + 1) % cfg.step_interval == 0 or (i + 1) == total_step:
+                v_meanloss, v_acc, v_prec, v_rec = run_valid(params)
+                accs_per_epoch.append(v_acc)
+                if v_acc > curr_best_epoch:
+                    curr_best_epoch = v_acc
+                    if curr_best_epoch > curr_best_accuracy - 0.0002 and is_main:
+                        p = (model_dir + cfg.model_type
+                             + ".b{}_epoch{}.ckpt.npz".format(cfg.seq_len, epoch + 1))
+                        save_params(p, jax.device_get(params))
+                        ckpts.append(p)
+                        if curr_best_epoch > curr_best_accuracy:
+                            curr_best_accuracy = curr_best_epoch
+                            curr_best_loc = epoch + 1
+                            no_best_model = False
+                    elif curr_best_epoch > curr_best_accuracy:
+                        curr_best_accuracy = curr_best_epoch
+                        curr_best_loc = epoch + 1
+                        no_best_model = False
+                    if best_epoch_accs and curr_best_epoch > best_epoch_accs[-1] and is_main:
+                        p = (model_dir + cfg.model_type
+                             + ".betterthanlast.b{}_epoch{}.ckpt.npz".format(
+                                 cfg.seq_len, epoch + 1))
+                        save_params(p, jax.device_get(params))
+                LOGGER.info(
+                    "Epoch [%d/%d], Step [%d/%d]; LR: %.4e; TrainLoss: %.4f; "
+                    "ValidLoss: %.4f, Acc: %.4f, Prec: %.4f, Reca: %.4f, "
+                    "CurrE_best_acc: %.4f, Best_acc: %.4f; Time: %.2fs",
+                    epoch + 1, cfg.max_epoch_num, i + 1, total_step, sched.lr,
+                    float(np.mean(tlosses)), v_meanloss, v_acc, v_prec, v_rec,
+                    curr_best_epoch, curr_best_accuracy, time.time() - start)
+                tlosses = []
+                start = time.time()
+        new_lr = sched.epoch_end(accs_per_epoch or [0.0])
+        opt_state = set_learning_rate(opt_state, new_lr)
+        best_epoch_accs.append(curr_best_epoch)
+        if no_best_model and epoch >= cfg.min_epoch_num - 1:
+            LOGGER.info("early stop!")
+            stop = True
+        if stop:
+            break
+    LOGGER.info("[main]train costs %.1f seconds, best accuracy: %s (epoch %d)",
+                time.time() - t0, curr_best_accuracy, curr_best_loc)
+    return {"best_accuracy": curr_best_accuracy, "best_epoch": curr_best_loc,
+            "ckpts": ckpts}
