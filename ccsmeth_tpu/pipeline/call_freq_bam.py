@@ -1,0 +1,544 @@
+"""call_freqb: aligned modbam -> per-site methylation frequencies (bedMethyl / freq.txt).
+
+Semantics parity with /root/reference/ccsmeth/call_mods_freq_bam.py, redesigned
+around ONE linear scan of the (sorted) BAM instead of per-region random fetches:
+each aligned (q_pos, r_pos) contribution is routed to its genome chunk by binary
+search over the chunk boundaries (with the reference's CG-straddle boundary
+adjustment, lines 51-84), so the per-region results — including the aggregate
+model's 11-site window context — are identical to the reference's fetch-per-region
+design while reading the BAM once. Genome chunks are the sharding unit for
+multi-host scale-out (per-site accumulators merge by concatenation — disjoint
+region ownership makes the merge order-independent).
+
+Aggregate mode runs the AggrAttRNN regressor as a jitted padded-batch step on the
+device mesh (the reference reloads the torch model per region and runs CPU
+minibatches of 1024, lines 308-342).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+from ..bamio import BamReader
+from ..models import AggrConfig, apply_aggr_attrnn, torch_ckpt_to_params
+from ..models.params_io import load_params
+from ..parallel.mesh import data_mesh, replicated_spec, shard_batch_spec
+from ..utils.codecs import (
+    aligned_pairs_from_cigar,
+    complement_seq,
+    compute_pct_identity,
+    get_refloc_of_methysite_in_motif,
+    get_motif_seqs,
+    ml_to_prob,
+    moddict_from_mm_ml,
+    parse_mm_tag,
+    seq_to_bytes,
+)
+from ..utils.fasta import DNAReference
+from ..utils.logging import mylogger
+from ..utils.process import is_file_empty
+
+LOGGER = mylogger(__name__)
+
+
+@dataclasses.dataclass
+class FreqBamConfig:
+    input_bam: str = ""
+    ref: str = ""
+    output: str = ""
+    contigs: str | None = None
+    chunk_len: int = 500000
+    modtype: str = "5mC"
+    call_mode: str = "count"
+    prob_cf: float = 0.0
+    no_amb_cov: bool = False
+    hap_tag: str = "HP"
+    mapq: int = 1
+    identity: float = 0.0
+    no_supplementary: bool = False
+    motifs: str = "CG"
+    mod_loc: int = 0
+    no_comb: bool = False
+    refsites_only: bool = False
+    refsites_all: bool = False
+    no_hap: bool = False
+    base_clip: int = 0
+    # aggregate mode
+    aggre_model: str | None = None
+    model_type: str = "attbigru"
+    seq_len: int = 11
+    class_num: int = 1
+    layer_rnn: int = 1
+    hid_rnn: int = 32
+    bin_size: int = 20
+    cov_cf: int = 4
+    only_close: bool = False
+    discrete: bool = False
+    tseed: int = 1234
+    # output
+    bed: bool = False
+    sort: bool = False
+    gzip: bool = False
+    threads: int = 5
+
+
+# ---------------------------------------------------------------------------------------
+# genome chunking (call_mods_freq_bam.py:51-99)
+# ---------------------------------------------------------------------------------------
+
+
+def get_reference_chunks(dnacontigs: dict[str, str], contig_str: str | None,
+                         chunk_len: int = 300000, motifs: str = "CG"
+                         ) -> list[tuple[str, int, int]]:
+    if contig_str is not None:
+        if os.path.isfile(contig_str):
+            with open(contig_str) as rf:
+                contigs = sorted(set(rf.read().splitlines()))
+        else:
+            contigs = sorted(set(contig_str.strip().split(",")))
+    else:
+        contigs = sorted(dnacontigs.keys())
+    ref_chunks = []
+    for contig in contigs:
+        contig_len = len(dnacontigs[contig])
+        for i in range(0, contig_len, chunk_len):
+            ref_chunks.append((contig, i, min(i + chunk_len, contig_len)))
+    if motifs == "CG":
+        # move a boundary-straddling CG wholly into the left chunk (lines 69-84)
+        for idx in range(1, len(ref_chunks)):
+            pre_ref, pre_s, pre_e = ref_chunks[idx - 1]
+            cur_ref, cur_s, cur_e = ref_chunks[idx]
+            if pre_ref != cur_ref:
+                continue
+            assert cur_s == pre_e
+            if dnacontigs[pre_ref][(pre_e - 1):(pre_e + 1)] == "CG":
+                ref_chunks[idx - 1] = (pre_ref, pre_s, pre_e + 1)
+                ref_chunks[idx] = (cur_ref, cur_s + 1, cur_e)
+    return ref_chunks
+
+
+# ---------------------------------------------------------------------------------------
+# frequency math (count + aggregate; call_mods_freq_bam.py:200-454)
+# ---------------------------------------------------------------------------------------
+
+
+def cal_modfreq_count_mode(modprobs, prob_cf=0.0, no_amb_cov=False):
+    cnt_all_filtered, cnt_mod = 0, 0
+    for p in modprobs:
+        if abs(p - (1 - p)) < prob_cf:
+            continue
+        cnt_all_filtered += 1
+        if p > 0.5:
+            cnt_mod += 1
+    modfreq = cnt_mod / float(cnt_all_filtered) if cnt_all_filtered > 0 else 0.0
+    if no_amb_cov:
+        return cnt_all_filtered, cnt_mod, modfreq
+    if cnt_all_filtered != len(modprobs):
+        cnt_mod = np.round(len(modprobs) * modfreq, 2)
+    return len(modprobs), cnt_mod, modfreq
+
+
+def get_normalized_histo(probs, cov_cf=4, binsize=20) -> np.ndarray:
+    cov = len(probs)
+    assert cov >= cov_cf
+    hist = np.histogram(probs, bins=binsize, range=[0, 1])[0]
+    norm = np.linalg.norm(hist)
+    return np.round(hist / norm, 6)
+
+
+def discretize_score(modprob, coverage):
+    if modprob > 0.66:
+        mod_reads = int(np.ceil(modprob * float(coverage)))
+    elif modprob <= 0.33:
+        mod_reads = int(np.floor(modprob * float(coverage)))
+    else:
+        mod_reads = round(coverage * modprob, 2)
+    unmod_reads = int(coverage) - mod_reads
+    adjusted = float(mod_reads) / (mod_reads + unmod_reads) if mod_reads != 0 else 0.0
+    return mod_reads, unmod_reads, adjusted
+
+
+class AggrPredictor:
+    """Jitted padded-batch aggregate-model step (replaces per-region torch reloads)."""
+
+    PAD = 1024
+
+    def __init__(self, cfg: FreqBamConfig):
+        import jax
+
+        acfg = AggrConfig(seq_len=cfg.seq_len, num_layers=cfg.layer_rnn,
+                          num_classes=cfg.class_num, dropout_rate=0.0,
+                          hidden_size=cfg.hid_rnn, binsize=cfg.bin_size,
+                          model_type=cfg.model_type)
+        if cfg.aggre_model is None or not os.path.exists(cfg.aggre_model):
+            raise ValueError("--aggre_model is not set right!")
+        if cfg.aggre_model.endswith(".npz"):
+            params = load_params(cfg.aggre_model)
+        else:
+            params = torch_ckpt_to_params(cfg.aggre_model, acfg)
+        mesh = data_mesh()
+        rep = replicated_spec(mesh)
+        bsp = shard_batch_spec(mesh)
+        params = jax.device_put(params, rep)
+        self._n_dev = mesh.devices.size
+        self.PAD = -(-self.PAD // self._n_dev) * self._n_dev
+
+        @jax.jit
+        def _fwd(offsets, histos):
+            return apply_aggr_attrnn(params, acfg, offsets, histos)
+
+        self._fwd = _fwd
+        self._bsp = bsp
+
+    def predict(self, offsets: np.ndarray, histos: np.ndarray) -> np.ndarray:
+        """offsets (N, L), histos (N, L, binsize) -> probs (N,) rounded/clipped like
+        the reference (call_mods_freq_bam.py:302)."""
+        import jax
+
+        N = len(offsets)
+        # float32 end-to-end: the reference keeps torch's float32 logits through
+        # round/clip and the freq.txt strings inherit float32 repr (lines 302,402)
+        out = np.empty(N, dtype=np.float32)
+        for s in range(0, N, self.PAD):
+            e = min(s + self.PAD, N)
+            n = e - s
+            off = np.zeros((self.PAD, offsets.shape[1]), np.float32)
+            his = np.zeros((self.PAD,) + histos.shape[1:], np.float32)
+            off[:n] = offsets[s:e]
+            his[:n] = histos[s:e]
+            res = np.asarray(self._fwd(jax.device_put(off, self._bsp),
+                                       jax.device_put(his, self._bsp)))
+            out[s:e] = np.round(np.clip(res[:n, 0], 0, 1), 6)
+        return out
+
+
+def _aggregate_window_inputs(refposes: list[int], histos: list[np.ndarray],
+                             seq_len: int, only_close: bool):
+    """Build the 11-site sliding windows (call_mods_freq_bam.py:265-305)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    pad_len = seq_len // 2
+    histos_mat = np.pad(np.stack(histos), pad_width=((pad_len, pad_len), (0, 0)),
+                        mode="constant", constant_values=0)
+    histos_mat = np.swapaxes(sliding_window_view(histos_mat, seq_len, axis=0), 1, 2)
+    refposes = np.asarray(refposes)
+    if not only_close:
+        pos_mat = np.pad(refposes, pad_width=(pad_len, pad_len), mode="constant",
+                         constant_values=(refposes[0] - 1000, refposes[-1] + 1000))
+        pos_mat = sliding_window_view(pos_mat, seq_len)
+        center = np.repeat(refposes, seq_len).reshape((-1, seq_len))
+        pos_mat = np.absolute(np.subtract(pos_mat, center))
+    else:
+        pos_mat = np.pad(refposes, pad_width=(pad_len + 1, pad_len), mode="constant",
+                         constant_values=(refposes[0] - 1000, refposes[-1] + 1000))
+        pos_mat = np.diff(pos_mat)
+        pos_mat = (pos_mat == 2).astype(int)
+        pos_mat = sliding_window_view(pos_mat, seq_len)
+    return pos_mat, histos_mat
+
+
+def call_modfreq_of_one_region(refpos2modinfo: dict, cfg: FreqBamConfig,
+                               aggr: "AggrPredictor | None"):
+    """-> [(refpos, info_all, info_hp1, info_hp2)] with info=(cov, met, freq);
+    parity with call_mods_freq_bam.py:308-454."""
+    if cfg.call_mode == "count":
+        out = []
+        for refpos in sorted(refpos2modinfo.keys()):
+            total, hp1, hp2 = [], [], []
+            for p, hap in refpos2modinfo[refpos]:
+                total.append(p)
+                if not cfg.no_hap:
+                    if hap == 1:
+                        hp1.append(p)
+                    elif hap == 2:
+                        hp2.append(p)
+            out.append((
+                refpos,
+                cal_modfreq_count_mode(total, cfg.prob_cf, cfg.no_amb_cov) if total else None,
+                cal_modfreq_count_mode(hp1, cfg.prob_cf, cfg.no_amb_cov) if hp1 else None,
+                cal_modfreq_count_mode(hp2, cfg.prob_cf, cfg.no_amb_cov) if hp2 else None,
+            ))
+        return out
+    if cfg.call_mode != "aggregate":
+        raise ValueError("wrong --call_mode")
+
+    all_refposes = sorted(refpos2modinfo.keys())
+    result = {rp: [None, None, None] for rp in all_refposes}
+    groups = {0: ([], [], [], []), 1: ([], [], [], []), 2: ([], [], [], [])}
+    # groups[g] = (lowcov_pos, lowcov_infos, highcov_pos, highcov (histo, cov))
+    for refpos in all_refposes:
+        per = {0: [], 1: [], 2: []}
+        for p, hap in refpos2modinfo[refpos]:
+            per[0].append(p)
+            if not cfg.no_hap and hap in (1, 2):
+                per[hap].append(p)
+        for g in (0, 1, 2):
+            mods = per[g]
+            if not mods:
+                continue
+            lp, li, hp_, hh = groups[g]
+            if len(mods) >= cfg.cov_cf:
+                hp_.append(refpos)
+                hh.append((get_normalized_histo(mods, cfg.cov_cf, cfg.bin_size),
+                           len(mods)))
+            else:
+                lp.append(refpos)
+                li.append(cal_modfreq_count_mode(mods, cfg.prob_cf, cfg.no_amb_cov))
+    for g in (0, 1, 2):
+        lp, li, hp_, hh = groups[g]
+        for pos, info in zip(lp, li):
+            result[pos][g] = info
+        if hp_:
+            pos_mat, histos_mat = _aggregate_window_inputs(
+                hp_, [h for h, _c in hh], cfg.seq_len, cfg.only_close)
+            probs = aggr.predict(pos_mat.astype(np.float32),
+                                 histos_mat.astype(np.float32))
+            for k, pos in enumerate(hp_):
+                cov = hh[k][1]
+                mp = probs[k]
+                if cfg.discrete:
+                    d_cnt, _, d_mp = discretize_score(mp, cov)
+                    result[pos][g] = (cov, d_cnt, d_mp)
+                else:
+                    result[pos][g] = (cov, round(cov * mp, 2), mp)
+    return [(rp, result[rp][0], result[rp][1], result[rp][2]) for rp in all_refposes]
+
+
+# ---------------------------------------------------------------------------------------
+# the linear-scan accumulator
+# ---------------------------------------------------------------------------------------
+
+
+def _moddict_arrays(rec, modbase="C", modification="m"):
+    """(positions, probs) arrays of a record's mod calls in alignment-strand coords.
+    Parity with _get_moddict (call_mods_freq_bam.py:126-197)."""
+    mm = ml = None
+    try:
+        mm = rec.get_tag("MM")
+        ml = rec.get_tag("ML")
+    except KeyError:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    deltas = parse_mm_tag(mm, modbase, modification)
+    if deltas is None:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    fwd = rec.get_forward_sequence()
+    try:
+        d = moddict_from_mm_ml(deltas, np.asarray(ml), seq_to_bytes(fwd),
+                               rec.is_reverse, modbase)
+    except (IndexError, AssertionError) as e:
+        LOGGER.warning("read %s: %s", rec.qname, e)
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    if not d:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    pos = np.fromiter(d.keys(), np.int64, len(d))
+    probs = np.fromiter(d.values(), np.float64, len(d))
+    order = np.argsort(pos)
+    return pos[order], probs[order]
+
+
+class _ContigAcc:
+    """Per-contig accumulation of (refpos -> [(prob, hap)]) for fwd and rev strands."""
+
+    __slots__ = ("fwd", "rev")
+
+    def __init__(self):
+        self.fwd: dict[int, list] = {}
+        self.rev: dict[int, list] = {}
+
+
+def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
+                        motifs_filter) -> dict[str, _ContigAcc]:
+    """One pass over the BAM: filters + MM/ML decode + aligned-pairs walk
+    (parity with _readmods_to_bed_of_one_region's per-read block, lines 488-540)."""
+    modbase = "C" if cfg.modtype == "5mC" else "-"
+    modification = "m"
+    accs: dict[str, _ContigAcc] = {}
+    refsites: dict[str, tuple[set, set]] = {}
+    reader = BamReader(cfg.input_bam)
+    refnames = [r[0] for r in reader.header.references]
+    if cfg.refsites_all:
+        for contig in dnacontigs:
+            fwd_sites = set(get_refloc_of_methysite_in_motif(
+                dnacontigs[contig], motifs_filter, cfg.mod_loc))
+            rev_scan = get_refloc_of_methysite_in_motif(
+                complement_seq(dnacontigs[contig]), motifs_filter, cfg.mod_loc)
+            clen = len(dnacontigs[contig])
+            rev_sites = set(clen - 1 - x for x in rev_scan)
+            refsites[contig] = (fwd_sites, rev_sites)
+
+    cnt_all = cnt_used = 0
+    for rec in reader:
+        if rec.ref_id < 0:
+            continue
+        contig = refnames[rec.ref_id]
+        if contig not in dnacontigs:
+            continue
+        cnt_all += 1
+        if rec.is_unmapped or rec.is_secondary or rec.is_duplicate:
+            continue
+        if cfg.no_supplementary and rec.is_supplementary:
+            continue
+        if rec.mapq < cfg.mapq:
+            continue
+        if compute_pct_identity(rec.get_cigar_stats()) < cfg.identity:
+            continue
+        try:
+            hap = int(rec.get_tag(cfg.hap_tag))
+        except (KeyError, ValueError, TypeError):
+            hap = 0
+        modpos, modprobs = _moddict_arrays(rec, modbase, modification)
+        matches_only = not cfg.refsites_all
+        pairs = aligned_pairs_from_cigar(rec.cigar, rec.pos, matches_only)
+        if cfg.base_clip > 0:
+            pairs = pairs[cfg.base_clip : -cfg.base_clip]
+        if len(pairs) == 0:
+            cnt_used += 1
+            continue
+        q = pairs[:, 0]
+        r = pairs[:, 1]
+        acc = accs.setdefault(contig, _ContigAcc())
+        target = acc.rev if rec.is_reverse else acc.fwd
+        rvalid = r >= 0
+        # q positions carrying mod calls
+        qi = np.searchsorted(modpos, q)
+        has_mod = np.zeros(len(q), dtype=bool)
+        inb = (qi < len(modpos)) & (q >= 0)
+        has_mod[inb] = modpos[np.clip(qi, 0, max(len(modpos) - 1, 0))][inb] == q[inb]
+        sel = rvalid & has_mod
+        for rr, p in zip(r[sel], modprobs[qi[sel]]):
+            target.setdefault(int(rr), []).append((p, hap))
+        if cfg.refsites_all:
+            fwd_sites, rev_sites = refsites[contig]
+            siteset = rev_sites if rec.is_reverse else fwd_sites
+            sel2 = rvalid & ~has_mod
+            for rr in r[sel2]:
+                if int(rr) in siteset:
+                    target.setdefault(int(rr), []).append((0.0, hap))
+        cnt_used += 1
+    reader.close()
+    LOGGER.info("scanned %d records, used %d", cnt_all, cnt_used)
+    return accs
+
+
+# ---------------------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------------------
+
+
+def _write_one_line(beditem, wf, is_bed):
+    ref_name, refpos, strand, cov, met, metprob = beditem
+    if is_bed:
+        wf.write("\t".join([
+            ref_name, str(refpos), str(refpos + 1), ".", str(cov), strand,
+            str(refpos), str(refpos + 1), "0,0,0", str(cov),
+            str(int(round(metprob * 100 + 0.001, 0)))]) + "\n")
+    else:
+        wf.write("\t".join([
+            ref_name, str(refpos), str(refpos + 1), strand, ".", ".", str(met),
+            str(cov - met), str(cov), str(round(metprob + 0.000001, 4)), "."]) + "\n")
+
+
+def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
+    """Run call_freqb; returns the list of written output paths."""
+    t0 = time.time()
+    if not cfg.input_bam.endswith(".bam"):
+        raise ValueError("--input_bam not a bam file!")
+    if not os.path.exists(cfg.input_bam):
+        raise ValueError("--input_bam does not exist!")
+    if not os.path.exists(cfg.ref):
+        raise ValueError("--ref does not exist!")
+    dnacontigs = DNAReference(cfg.ref).getcontigs()
+    motifs = get_motif_seqs(cfg.motifs)
+    motifs_filter = None
+    if cfg.refsites_only or cfg.refsites_all:
+        motifs_filter = motifs
+        LOGGER.info("[###] --refsites_only/--refsites_all: keeping only reference "
+                    "%s sites", motifs_filter)
+
+    aggr = AggrPredictor(cfg) if cfg.call_mode == "aggregate" else None
+    accs = scan_bam_accumulate(cfg, dnacontigs, set(motifs) if motifs_filter else None)
+    ref_chunks = get_reference_chunks(dnacontigs, cfg.contigs, cfg.chunk_len, cfg.motifs)
+
+    # motif filter window params (lines 464-471)
+    fwd_s = fwd_e = rev_s = rev_e = None
+    mf_set = None
+    if motifs_filter is not None:
+        len_motif = len(motifs_filter[0])
+        fwd_s = -cfg.mod_loc
+        fwd_e = len_motif - cfg.mod_loc
+        rev_s = -(len_motif - 1 - cfg.mod_loc)
+        rev_e = cfg.mod_loc + 1
+        mf_set = set(motifs_filter)
+
+    bed_all: list = []
+    bed_hp1: list = []
+    bed_hp2: list = []
+    for ref_name, ref_start, ref_end in ref_chunks:
+        acc = accs.get(ref_name)
+        if acc is None:
+            continue
+        refposinfo = {p: v for p, v in acc.fwd.items() if ref_start <= p < ref_end}
+        refposinfo_rev = {p: v for p, v in acc.rev.items() if ref_start <= p < ref_end}
+        if not refposinfo and not refposinfo_rev:
+            continue
+        combine = cfg.motifs == "CG" and not cfg.no_comb
+        if combine:
+            # rev site r belongs to fwd site r-1 (lines 547-556)
+            for rev_pos, vals in refposinfo_rev.items():
+                if rev_pos == 0:
+                    continue
+                refposinfo.setdefault(rev_pos - 1, []).extend(vals)
+            refposinfo_rev = {}
+        for refpositem in call_modfreq_of_one_region(refposinfo, cfg, aggr):
+            refpos, total_info, hp1_info, hp2_info = refpositem
+            if mf_set is not None:
+                motif_seq = dnacontigs[ref_name][(refpos + fwd_s):(refpos + fwd_e)]
+                if motif_seq not in mf_set:
+                    continue
+            if total_info is not None:
+                bed_all.append((ref_name, refpos, "+", total_info[0], total_info[1], total_info[2]))
+            if hp1_info is not None:
+                bed_hp1.append((ref_name, refpos, "+", hp1_info[0], hp1_info[1], hp1_info[2]))
+            if hp2_info is not None:
+                bed_hp2.append((ref_name, refpos, "+", hp2_info[0], hp2_info[1], hp2_info[2]))
+        if not combine:
+            for refpositem in call_modfreq_of_one_region(refposinfo_rev, cfg, aggr):
+                refpos, total_info, hp1_info, hp2_info = refpositem
+                if mf_set is not None:
+                    motif_seq = complement_seq(
+                        dnacontigs[ref_name][(refpos + rev_s):(refpos + rev_e)])
+                    if motif_seq not in mf_set:
+                        continue
+                if total_info is not None:
+                    bed_all.append((ref_name, refpos, "-", total_info[0], total_info[1], total_info[2]))
+                if hp1_info is not None:
+                    bed_hp1.append((ref_name, refpos, "-", hp1_info[0], hp1_info[1], hp1_info[2]))
+                if hp2_info is not None:
+                    bed_hp2.append((ref_name, refpos, "-", hp2_info[0], hp2_info[1], hp2_info[2]))
+
+    fext = "bed" if cfg.bed else "freq.txt"
+    outputs = []
+    for tag, items in (("all", bed_all), ("hp1", bed_hp1), ("hp2", bed_hp2)):
+        path = cfg.output + ".{}.{}.{}".format(cfg.call_mode, tag, fext)
+        if cfg.sort:
+            items = sorted(items, key=lambda x: (x[0], x[1]))
+        with open(path, "w") as wf:
+            for item in items:
+                _write_one_line(item, wf, cfg.bed)
+        if is_file_empty(path):
+            os.remove(path)
+            continue
+        if cfg.gzip:
+            from ..bamio.bgzf import BgzfWriter
+
+            with open(path, "rb") as rf, BgzfWriter(path + ".gz") as w:
+                w.write(rf.read())
+            os.remove(path)
+            path += ".gz"
+        outputs.append(path)
+    LOGGER.info("[main]call_freq_bam costs %.1f seconds", time.time() - t0)
+    return outputs
