@@ -129,7 +129,8 @@ def main_call_mods(args):
         norm=args.norm, no_decode=args.no_decode, mapq=args.mapq,
         identity=args.identity, no_supplementary=args.no_supplementary,
         skip_unmapped=str2bool(args.skip_unmapped), holeids_e=args.holeids_e,
-        holeids_ne=args.holeids_ne, gzip_out=args.gzip)
+        holeids_ne=args.holeids_ne, gzip_out=args.gzip,
+        rnn_backend=args.rnn_backend, precision=args.precision)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
         if args.seq_len % 2 == 0:
             raise ValueError("--seq_len must be odd")
@@ -293,6 +294,13 @@ def get_parser() -> argparse.ArgumentParser:
                     help="trained model (.ckpt torch or .npz native)")
     _add_model_args(p)
     gc.add_argument("--batch_size", "-b", type=int, default=512)
+    gc.add_argument("--rnn_backend", type=str, default="xla",
+                    choices=["xla", "pallas"],
+                    help="BiGRU backend: xla (fp32 reference parity) or pallas "
+                         "(fused TPU kernel fast path), default xla")
+    gc.add_argument("--precision", type=str, default="fp32",
+                    choices=["fp32", "bf16"],
+                    help="compute precision for the pallas fast path, default fp32")
     _add_extraction_args(p, call_mods=True)
     p.add_argument("--threads", "-p", type=int, default=10)
     p.add_argument("--threads_call", type=int, default=3,

@@ -214,11 +214,16 @@ def _last_layer_query(h_n: jnp.ndarray, num_layers: int, H: int) -> jnp.ndarray:
 def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
                  h0: jnp.ndarray | None = None, h0_2: jnp.ndarray | None = None,
                  c0: jnp.ndarray | None = None, c0_2: jnp.ndarray | None = None,
-                 dropout_rng=None, train: bool = False):
+                 dropout_rng=None, train: bool = False,
+                 rnn_backend: str = "xla", compute_dtype=jnp.float32):
     """Two-strand forward; returns (logits, probs) like the reference (models.py:150).
 
     feats keys: kmer,kpass,ipd_means,ipd_stds,pw_means,pw_stds,sns,maps and the same
     with suffix '2' for the reverse strand. h0/h0_2: optional (num_layers*2, B, H).
+
+    rnn_backend='pallas' routes the recurrence through the fused VMEM-resident TPU
+    kernel (ops/bigru_pallas.py) — inference fast path, GRU only, zero h0, no
+    inter-layer dropout.
     """
     H = cfg.hidden_size
     B = feats["kmer"].shape[0]
@@ -228,6 +233,16 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
     # run both strands through the shared RNN in ONE call (batch-stacked)
     both = jnp.concatenate([out1_in, out2_in], axis=0)
     nl2 = cfg.num_layers * 2
+    if rnn_backend == "pallas":
+        if cfg.rnn_cell != "gru" or train or h0 is not None or h0_2 is not None:
+            raise ValueError("pallas backend: GRU inference with zero h0 only")
+        from ..ops.bigru_pallas import birnn_apply_pallas
+
+        outs, h_n = birnn_apply_pallas(params["rnn"], both,
+                                       compute_dtype=compute_dtype)
+        out1, out2 = outs[:B], outs[B:]
+        h_n1, h_n2 = h_n[:, :B], h_n[:, B:]
+        return _attrnn_head(params, cfg, out1, out2, h_n1, h_n2, dropout_rng, train)
     if h0 is None:
         h0 = jnp.zeros((nl2, B, H), jnp.float32)
     if h0_2 is None:
@@ -248,7 +263,13 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
                             cfg.dropout_rate if train else 0.0, rnn_rng)
     out1, out2 = outs[:B], outs[B:]
     h_n1, h_n2 = h_n[:, :B], h_n[:, B:]
+    return _attrnn_head(params, cfg, out1, out2, h_n1, h_n2, dropout_rng, train)
 
+
+def _attrnn_head(params, cfg: AttRNNConfig, out1, out2, h_n1, h_n2, dropout_rng,
+                 train):
+    """Shared attention + classifier head (models.py:132-150)."""
+    H = cfg.hidden_size
     q1 = _last_layer_query(h_n1, cfg.num_layers, H)
     q2 = _last_layer_query(h_n2, cfg.num_layers, H)
     ctx1, _ = apply_attention(params["att"], q1, out1)

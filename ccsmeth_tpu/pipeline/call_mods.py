@@ -79,6 +79,11 @@ class CallModsConfig:
     holeids_e: str | None = None
     holeids_ne: str | None = None
     gzip_out: bool = False
+    # device fast path: 'xla' keeps fp32 reference parity; 'pallas' routes the
+    # BiGRU through the fused VMEM-resident TPU kernel (ops/bigru_pallas.py),
+    # optionally in bf16 (fastest; probs may differ in the last ~2 decimals)
+    rnn_backend: str = "xla"
+    precision: str = "fp32"  # fp32 | bf16
 
     def extract_config(self) -> ExtractConfig:
         return ExtractConfig(
@@ -124,10 +129,14 @@ def _get_holes(path: str) -> set:
     return holes
 
 
-def _apply_for(model_cfg):
+def _apply_for(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
     if isinstance(model_cfg, TransEncConfig):
         return lambda params, cfg, feats: apply_transenc(params, cfg, feats)
-    return lambda params, cfg, feats: apply_attrnn(params, cfg, feats)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    return lambda params, cfg, feats: apply_attrnn(
+        params, cfg, feats, rnn_backend=rnn_backend, compute_dtype=dtype)
 
 
 def _round6(x: np.ndarray) -> np.ndarray:
@@ -149,7 +158,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     out_modbam = output_prefix + ".modbam.bam"
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
-    predict = make_predict_fn(_apply_for(model_cfg), params, model_cfg)
+    predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
 
@@ -361,7 +370,7 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     out_path = output_prefix + ".per_readsite.tsv"
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
-    predict = make_predict_fn(_apply_for(model_cfg), params, model_cfg)
+    predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
     holeids_e = _get_holes(cfg.holeids_e) if cfg.holeids_e else None

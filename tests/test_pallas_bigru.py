@@ -1,0 +1,84 @@
+"""Fused Pallas BiGRU kernel vs the lax.scan reference path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccsmeth_tpu.models import AttRNNConfig, init_attrnn, apply_attrnn
+from ccsmeth_tpu.models.rnn import birnn_apply, init_rnn_params
+from ccsmeth_tpu.ops.bigru_pallas import bigru_layer_pallas, birnn_apply_pallas
+
+
+def test_single_layer_matches_scan():
+    rng = np.random.RandomState(0)
+    B, L, C, H = 16, 21, 11, 32
+    layers = init_rnn_params(rng, C, H, 1, "gru")
+    x = rng.randn(B, L, C).astype(np.float32)
+    h0 = jnp.zeros((2, B, H), jnp.float32)
+    ref_out, _ = birnn_apply(layers, jnp.asarray(x), h0, None, "gru")
+    pall_out = bigru_layer_pallas(layers[0], jnp.asarray(x), b_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(pall_out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_multilayer_and_hn():
+    rng = np.random.RandomState(1)
+    B, L, C, H, NL = 8, 21, 11, 16, 3
+    layers = init_rnn_params(rng, C, H, NL, "gru")
+    x = rng.randn(B, L, C).astype(np.float32)
+    h0 = jnp.zeros((NL * 2, B, H), jnp.float32)
+    ref_out, ref_hn = birnn_apply(layers, jnp.asarray(x), h0, None, "gru")
+    pall_out, pall_hn = birnn_apply_pallas(layers, jnp.asarray(x), interpret=True,
+                                           b_tile=8)
+    np.testing.assert_allclose(np.asarray(pall_out), np.asarray(ref_out), atol=3e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pall_hn), np.asarray(ref_hn), atol=3e-5,
+                               rtol=1e-5)
+
+
+def test_batch_tile_padding():
+    """Batch not divisible by tile: padded rows must not leak into real rows."""
+    rng = np.random.RandomState(2)
+    B, L, C, H = 13, 21, 11, 16
+    layers = init_rnn_params(rng, C, H, 1, "gru")
+    x = rng.randn(B, L, C).astype(np.float32)
+    h0 = jnp.zeros((2, B, H), jnp.float32)
+    ref_out, _ = birnn_apply(layers, jnp.asarray(x), h0, None, "gru")
+    pall_out = bigru_layer_pallas(layers[0], jnp.asarray(x), b_tile=8, interpret=True)
+    assert pall_out.shape == (B, L, 2 * H)
+    np.testing.assert_allclose(np.asarray(pall_out), np.asarray(ref_out), atol=2e-5,
+                               rtol=1e-5)
+
+
+def test_full_model_pallas_backend_matches_xla():
+    cfg = AttRNNConfig(num_layers=2, hidden_size=32, dropout_rate=0)
+    params = init_attrnn(3, cfg)
+    rng = np.random.RandomState(4)
+    B, L = 12, 21
+    feats = {}
+    for s in ("", "2"):
+        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+        feats["kpass" + s] = np.full((B, L), 5.0, np.float32)
+        feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["ipd_stds" + s] = np.zeros((B, L), np.float32)
+        feats["pw_stds" + s] = np.zeros((B, L), np.float32)
+        feats["sns" + s] = np.zeros((B, 4), np.float32)
+        feats["maps" + s] = np.zeros((B, L), np.float32)
+    l_x, p_x = apply_attrnn(params, cfg, feats)
+    l_p, p_p = apply_attrnn(params, cfg, feats, rnn_backend="pallas")
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x), atol=5e-6)
+
+
+def test_pallas_backend_rejects_lstm_and_train():
+    cfg = AttRNNConfig(num_layers=1, hidden_size=16, dropout_rate=0,
+                       model_type="attbilstm2s")
+    params = init_attrnn(0, cfg)
+    feats = {k + s: np.zeros((2, 21), np.float32) for s in ("", "2")
+             for k in ("kmer", "kpass", "ipd_means", "pw_means", "ipd_stds",
+                       "pw_stds", "maps")}
+    for s in ("", "2"):
+        feats["sns" + s] = np.zeros((2, 4), np.float32)
+    with pytest.raises(ValueError):
+        apply_attrnn(params, cfg, feats, rnn_backend="pallas")
