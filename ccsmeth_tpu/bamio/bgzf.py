@@ -60,7 +60,10 @@ class BgzfReader(io.RawIOBase):
     the feature-TSV paths accept .gz inputs.
     """
 
-    def __init__(self, source):
+    # files up to this size take the native parallel bulk-decompress path
+    NATIVE_BULK_LIMIT = 4 << 30
+
+    def __init__(self, source, use_native: bool = True):
         if isinstance(source, (str, bytes)):
             self._fh = open(source, "rb")
             self._own = True
@@ -77,12 +80,36 @@ class BgzfReader(io.RawIOBase):
             self._plain = True  # raw uncompressed
         elif len(head) >= 18 and (head[3] & 4) and head[12:14] == b"BC":
             self._plain = False  # BGZF
+            if use_native and self._own:
+                self._try_native_bulk(source)
         else:
             # plain (non-blocked) gzip: wrap with stdlib streaming decompressor
             import gzip as _gzip
 
             self._fh = _gzip.GzipFile(fileobj=self._fh)
             self._plain = True
+
+    def _try_native_bulk(self, source) -> None:
+        """Whole-file parallel decompress through the native codec when present."""
+        try:
+            import os as _os
+
+            if _os.path.getsize(source) > self.NATIVE_BULK_LIMIT:
+                return
+            from .native import decompress_bgzf_bytes
+
+            raw = self._fh.read()
+            data = decompress_bgzf_bytes(raw)
+            if data is None:
+                self._fh.seek(0)
+                return
+            self._fh.close()
+            import io as _io
+
+            self._fh = _io.BytesIO(data)
+            self._plain = True  # serve decompressed bytes directly
+        except Exception:  # noqa: BLE001 — any native hiccup -> streaming path
+            self._fh.seek(0)
 
     # -- internals ---------------------------------------------------------------
     def _fill(self) -> bool:
@@ -167,9 +194,15 @@ class BgzfReader(io.RawIOBase):
 
 
 class BgzfWriter(io.RawIOBase):
-    """Streaming BGZF writer (gzip members <=64KiB with BC subfield + EOF marker)."""
+    """Streaming BGZF writer (gzip members <=64KiB with BC subfield + EOF marker).
 
-    def __init__(self, sink, compresslevel: int = 6):
+    With the native codec present, payload accumulates into multi-megabyte spans
+    compressed in parallel; otherwise blocks flush one-by-one through zlib.
+    """
+
+    NATIVE_SPAN = 8 << 20
+
+    def __init__(self, sink, compresslevel: int = 6, use_native: bool = True):
         if isinstance(sink, (str, bytes)):
             self._fh = open(sink, "wb")
             self._own = True
@@ -178,13 +211,32 @@ class BgzfWriter(io.RawIOBase):
             self._own = False
         self._level = compresslevel
         self._buf = bytearray()
+        self._native = None
+        if use_native:
+            try:
+                from .native import compress_bgzf_bytes, native_available
+
+                if native_available():
+                    self._native = compress_bgzf_bytes
+            except Exception:  # noqa: BLE001
+                self._native = None
 
     def writable(self) -> bool:
         return True
 
     def write(self, data) -> int:
         self._buf += data
-        while len(self._buf) >= _MAX_BLOCK_DATA:
+        if self._native is not None:
+            while len(self._buf) >= self.NATIVE_SPAN:
+                span = bytes(self._buf[: self.NATIVE_SPAN])
+                del self._buf[: self.NATIVE_SPAN]
+                out = self._native(span, self._level)
+                if out is None:  # native failure -> permanent python fallback
+                    self._native = None
+                    self._buf[:0] = span
+                    break
+                self._fh.write(out)
+        while self._native is None and len(self._buf) >= _MAX_BLOCK_DATA:
             self._flush_block(bytes(self._buf[:_MAX_BLOCK_DATA]))
             del self._buf[:_MAX_BLOCK_DATA]
         return len(data)
@@ -212,8 +264,14 @@ class BgzfWriter(io.RawIOBase):
         if self.closed:
             return
         if len(self._buf):
-            self._flush_block(bytes(self._buf))
+            data = bytes(self._buf)
             self._buf.clear()
+            out = self._native(data, self._level) if self._native is not None else None
+            if out is not None:
+                self._fh.write(out)
+            else:
+                for i in range(0, len(data), _MAX_BLOCK_DATA):
+                    self._flush_block(data[i : i + _MAX_BLOCK_DATA])
         self._fh.write(BGZF_EOF)
         if self._own:
             self._fh.close()
