@@ -1,0 +1,357 @@
+"""BAI index writing/reading + region fetch over BGZF virtual offsets.
+
+Replaces pysam.index / AlignmentFile.fetch(contig, start, stop)
+(/root/reference/ccsmeth/utils/process_utils.py:303-311,
+call_mods_freq_bam.py:488). The index is built by one linear scan of the finished
+BAM: BGZF block boundaries give the compressed->uncompressed offset map, records
+give bin/chunk extents (UCSC binning scheme, 16kb linear index windows).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+from .bam import BamHeader, BamRecord, decode_record, _reg2bin
+from .bgzf import BgzfReader
+
+BAI_MAGIC = b"BAI\x01"
+LINEAR_SHIFT = 14  # 16kb windows
+
+
+def _scan_blocks_py(data: bytes):
+    """[(coffset, csize, usize)] for each BGZF block (python fallback)."""
+    out = []
+    off = 0
+    n = len(data)
+    while off < n:
+        if data[off : off + 2] != b"\x1f\x8b":
+            raise ValueError("bad BGZF magic at {}".format(off))
+        (xlen,) = struct.unpack_from("<H", data, off + 10)
+        p = off + 12
+        end = p + xlen
+        bsize = None
+        while p + 4 <= end:
+            si1, si2 = data[p], data[p + 1]
+            (slen,) = struct.unpack_from("<H", data, p + 2)
+            if si1 == 66 and si2 == 67 and slen == 2:
+                (bs,) = struct.unpack_from("<H", data, p + 4)
+                bsize = bs + 1
+            p += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF BC subfield missing")
+        (isize,) = struct.unpack_from("<I", data, off + bsize - 4)
+        out.append((off, bsize, isize))
+        off += bsize
+    return out
+
+
+def scan_blocks(data: bytes):
+    try:
+        from .native import _load
+
+        lib = _load()
+        if lib is not None:
+            import ctypes
+
+            max_blocks = len(data) // 28 + 2
+            offsets = (ctypes.c_ulonglong * max_blocks)()
+            csizes = (ctypes.c_uint * max_blocks)()
+            usizes = (ctypes.c_uint * max_blocks)()
+            n = lib.bgzf_scan_blocks(data, len(data), offsets, csizes, usizes,
+                                     max_blocks)
+            if n > 0:
+                return [(int(offsets[i]), int(csizes[i]), int(usizes[i]))
+                        for i in range(n)]
+    except Exception:  # noqa: BLE001
+        pass
+    return _scan_blocks_py(data)
+
+
+class _RefIndex:
+    def __init__(self):
+        self.bins: dict[int, list[tuple[int, int]]] = {}
+        self.linear: dict[int, int] = {}  # window -> min voffset
+
+    def add(self, rec: BamRecord, v_start: int, v_end: int) -> None:
+        end = rec.reference_end if rec.cigar else rec.pos + 1
+        bin_ = _reg2bin(rec.pos, max(end, rec.pos + 1))
+        chunks = self.bins.setdefault(bin_, [])
+        if chunks and chunks[-1][1] == v_start:
+            chunks[-1] = (chunks[-1][0], v_end)
+        else:
+            chunks.append((v_start, v_end))
+        for w in range(rec.pos >> LINEAR_SHIFT, ((max(end, rec.pos + 1) - 1)
+                                                 >> LINEAR_SHIFT) + 1):
+            if w not in self.linear or v_start < self.linear[w]:
+                self.linear[w] = v_start
+
+
+def build_index(bam_path: str, bai_path: str | None = None) -> str:
+    """Linear-scan the BAM, emit .bai. Requires coordinate-sorted input."""
+    if bai_path is None:
+        bai_path = bam_path + ".bai"
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    blocks = scan_blocks(raw)
+    coffsets = np.array([b[0] for b in blocks], dtype=np.int64)
+    cum_u = np.zeros(len(blocks) + 1, dtype=np.int64)
+    cum_u[1:] = np.cumsum([b[2] for b in blocks])
+
+    def voffset(u: int) -> int:
+        i = int(np.searchsorted(cum_u, u, side="right")) - 1
+        if i >= len(coffsets):  # EOF position
+            return (int(raw.__len__()) << 16)
+        return (int(coffsets[i]) << 16) | int(u - cum_u[i])
+
+    # decompress all (native bulk when available)
+    from .native import decompress_bgzf_bytes
+
+    data = decompress_bgzf_bytes(raw)
+    if data is None:
+        chunks = []
+        for off, _cs, _us in blocks:
+            payload, _next = _decompress_one(raw, off)
+            chunks.append(payload)
+        data = b"".join(chunks)
+
+    # parse header
+    if data[:4] != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    (l_text,) = struct.unpack_from("<i", data, 4)
+    p = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", data, p)
+    p += 4
+    refs = []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", data, p)
+        p += 4 + l_name
+        (_l_ref,) = struct.unpack_from("<i", data, p)
+        p += 4
+        refs.append(None)
+    header = BamHeader("", [("x", 1)] * n_ref)
+
+    ref_indices = [_RefIndex() for _ in range(n_ref)]
+    n_unmapped = 0
+    last_rid = -2
+    _last_pos = -1
+    while p + 4 <= len(data):
+        (block_size,) = struct.unpack_from("<I", data, p)
+        rec_start = p
+        rec_end = p + 4 + block_size
+        rec = decode_record(data[p + 4 : rec_end], header)
+        if rec.ref_id >= 0 and not rec.is_unmapped:
+            if rec.ref_id < last_rid or (rec.ref_id == last_rid and rec.pos < _last_pos):
+                raise ValueError("BAM is not coordinate-sorted; sort before indexing")
+            ref_indices[rec.ref_id].add(rec, voffset(rec_start), voffset(rec_end))
+            last_rid = rec.ref_id
+            _last_pos = rec.pos
+        else:
+            n_unmapped += 1
+        p = rec_end
+
+    with open(bai_path, "wb") as wf:
+        wf.write(BAI_MAGIC)
+        wf.write(struct.pack("<i", n_ref))
+        for ri in ref_indices:
+            wf.write(struct.pack("<i", len(ri.bins)))
+            for bin_ in sorted(ri.bins):
+                chunks = ri.bins[bin_]
+                wf.write(struct.pack("<Ii", bin_, len(chunks)))
+                for s, e in chunks:
+                    wf.write(struct.pack("<QQ", s, e))
+            if ri.linear:
+                n_win = max(ri.linear) + 1
+                lin = np.zeros(n_win, dtype=np.uint64)
+                filled = np.zeros(n_win, dtype=bool)
+                for w, v in sorted(ri.linear.items()):
+                    lin[w] = v
+                    filled[w] = True
+                # fill gaps with previous value (htslib convention)
+                prev = 0
+                for w in range(n_win):
+                    if filled[w]:
+                        prev = lin[w]
+                    else:
+                        lin[w] = prev
+                wf.write(struct.pack("<i", n_win))
+                wf.write(lin.tobytes())
+            else:
+                wf.write(struct.pack("<i", 0))
+    return bai_path
+
+
+def _decompress_one(raw: bytes, off: int):
+    (xlen,) = struct.unpack_from("<H", raw, off + 10)
+    p = off + 12
+    end = p + xlen
+    bsize = None
+    while p + 4 <= end:
+        si1, si2 = raw[p], raw[p + 1]
+        (slen,) = struct.unpack_from("<H", raw, p + 2)
+        if si1 == 66 and si2 == 67 and slen == 2:
+            (bs,) = struct.unpack_from("<H", raw, p + 4)
+            bsize = bs + 1
+        p += 4 + slen
+    cdata = raw[off + 12 + xlen : off + bsize - 8]
+    return zlib.decompress(cdata, wbits=-15), off + bsize
+
+
+def _reg2bins(beg: int, end: int) -> list[int]:
+    """All bins overlapping [beg, end) (SAM spec)."""
+    bins = [0]
+    end -= 1
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, bai_path: str):
+        with open(bai_path, "rb") as f:
+            data = f.read()
+        if data[:4] != BAI_MAGIC:
+            raise ValueError("not a BAI file")
+        (self.n_ref,) = struct.unpack_from("<i", data, 4)
+        p = 8
+        self.refs = []
+        for _ in range(self.n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, p)
+            p += 4
+            bins = {}
+            for _ in range(n_bin):
+                bin_, n_chunk = struct.unpack_from("<Ii", data, p)
+                p += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    s, e = struct.unpack_from("<QQ", data, p)
+                    p += 16
+                    chunks.append((s, e))
+                bins[bin_] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, p)
+            p += 4
+            linear = np.frombuffer(data, dtype=np.uint64, count=n_intv, offset=p)
+            p += 8 * n_intv
+            self.refs.append((bins, linear))
+
+    def chunks_for(self, rid: int, beg: int, end: int) -> list[tuple[int, int]]:
+        if rid < 0 or rid >= len(self.refs):
+            return []
+        bins, linear = self.refs[rid]
+        min_v = 0
+        w = beg >> LINEAR_SHIFT
+        if len(linear) > 0:
+            min_v = int(linear[min(w, len(linear) - 1)])
+        chunks = []
+        for b in _reg2bins(beg, end):
+            for s, e in bins.get(b, ()):
+                if e > min_v:
+                    chunks.append((max(s, min_v), e))
+        chunks.sort()
+        # merge overlapping/adjacent
+        merged = []
+        for s, e in chunks:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        return merged
+
+
+def fetch_region(bam_path: str, contig: str, start: int, stop: int,
+                 bai_path: str | None = None):
+    """Yield BamRecords overlapping [start, stop) using the .bai random-access
+    index (builds the index on demand for a sorted BAM)."""
+    if bai_path is None:
+        bai_path = bam_path + ".bai"
+    if not os.path.exists(bai_path):
+        build_index(bam_path, bai_path)
+    # header + refid via the normal reader
+    reader = BamReaderHeaderOnly(bam_path)
+    header = reader.header
+    try:
+        rid = header.refid(contig)
+    except KeyError:
+        return
+    idx = BaiIndex(bai_path)
+    chunks = idx.chunks_for(rid, start, stop)
+    if not chunks:
+        return
+    with open(bam_path, "rb") as f:
+        raw = f.read()
+    seen_starts = set()
+    for v_s, v_e in chunks:
+        c_s, u_s = v_s >> 16, v_s & 0xFFFF
+        c_e = v_e >> 16
+        # decompress blocks [c_s .. c_e] (inclusive; a record may straddle into
+        # the block at c_e)
+        buf = bytearray()
+        block_starts = []  # (coffset, uncompressed offset within buf)
+        off = c_s
+        while off < len(raw):
+            block_starts.append((off, len(buf)))
+            payload, off2 = _decompress_one(raw, off)
+            buf += payload
+            if off >= c_e:
+                break
+            off = off2
+        data = bytes(buf)
+        co_arr = [b[0] for b in block_starts]
+        uo_arr = [b[1] for b in block_starts]
+        import bisect
+
+        p = u_s
+        while p + 4 <= len(data):
+            bi = bisect.bisect_right(uo_arr, p) - 1
+            rec_voffset = (co_arr[bi] << 16) | (p - uo_arr[bi])
+            if rec_voffset >= v_e:
+                break
+            (block_size,) = struct.unpack_from("<I", data, p)
+            if p + 4 + block_size > len(data):
+                break
+            rec_p = p
+            p += 4 + block_size
+            if rec_voffset in seen_starts:
+                continue  # chunk overlap dedup
+            seen_starts.add(rec_voffset)
+            rec = decode_record(data[rec_p + 4 : rec_p + 4 + block_size], header)
+            if rec.ref_id != rid or rec.is_unmapped:
+                continue
+            if rec.pos >= stop:
+                break
+            if rec.reference_end > start:
+                yield rec
+
+
+class BamReaderHeaderOnly:
+    """Parse just the BAM header (for refid lookup in fetch)."""
+
+    def __init__(self, path: str):
+        bg = BgzfReader(path, use_native=False)
+        magic = bg.read_exact(4)
+        if magic != b"BAM\x01":
+            raise ValueError("not a BAM file")
+        (l_text,) = struct.unpack("<i", bg.read_exact(4))
+        text = bg.read_exact(l_text).split(b"\x00")[0].decode("ascii")
+        (n_ref,) = struct.unpack("<i", bg.read_exact(4))
+        refs = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", bg.read_exact(4))
+            name = bg.read_exact(l_name)[:-1].decode("ascii")
+            (l_ref,) = struct.unpack("<i", bg.read_exact(4))
+            refs.append((name, l_ref))
+        bg.close()
+        self.header = BamHeader(text, refs)
+
+
+def index_bam_if_needed(bam_path: str) -> str | None:
+    """pysam.index analog (process_utils.py:303-311): build .bai when absent."""
+    if not bam_path.endswith(".bam"):
+        return None
+    bai = bam_path + ".bai"
+    if not os.path.exists(bai):
+        build_index(bam_path, bai)
+    return bai

@@ -130,7 +130,8 @@ def main_call_mods(args):
         identity=args.identity, no_supplementary=args.no_supplementary,
         skip_unmapped=str2bool(args.skip_unmapped), holeids_e=args.holeids_e,
         holeids_ne=args.holeids_ne, gzip_out=args.gzip,
-        rnn_backend=args.rnn_backend, precision=args.precision)
+        rnn_backend=args.rnn_backend, precision=args.precision,
+        profile_dir=args.profile_dir)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
         if args.seq_len % 2 == 0:
             raise ValueError("--seq_len must be odd")
@@ -301,6 +302,8 @@ def get_parser() -> argparse.ArgumentParser:
     gc.add_argument("--precision", type=str, default="fp32",
                     choices=["fp32", "bf16"],
                     help="compute precision for the pallas fast path, default fp32")
+    gc.add_argument("--profile_dir", type=str, default=None,
+                    help="write a jax.profiler device trace here (xprof viewable)")
     _add_extraction_args(p, call_mods=True)
     p.add_argument("--threads", "-p", type=int, default=10)
     p.add_argument("--threads_call", type=int, default=3,

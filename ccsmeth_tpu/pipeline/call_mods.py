@@ -84,6 +84,7 @@ class CallModsConfig:
     # optionally in bf16 (fastest; probs may differ in the last ~2 decimals)
     rnn_backend: str = "xla"
     precision: str = "fp32"  # fp32 | bf16
+    profile_dir: str | None = None  # jax.profiler trace output dir
 
     def extract_config(self) -> ExtractConfig:
         return ExtractConfig(
@@ -218,6 +219,11 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     t_write.start()
 
     rm_pulse = not cfg.keep_pulse
+    from ..utils.observe import ThroughputMeter, device_trace
+
+    meter = ThroughputMeter("call_mods")
+    trace_ctx = device_trace(cfg.profile_dir)
+    trace_ctx.__enter__()
     while True:
         holebatch = batch_q.get()
         if holebatch is None:
@@ -225,6 +231,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         if err:
             break
         stats.reads_in += len(holebatch)
+        meter.add("reads", len(holebatch))
         feats_per_read = []
         for rec in holebatch:
             refname = refnames[rec.ref_id] if rec.ref_id >= 0 else None
@@ -244,6 +251,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         if batch is not None:
             idx_map = np.array([i for i, _rf in kept], dtype=np.int64)
             stats.sites += len(batch)
+            meter.add("sites", len(batch))
             for s in range(0, len(batch), pad_n):
                 sub = _slice_batch(batch, s, min(s + pad_n, len(batch))).pad_to(pad_n)
                 probs = predict(sub.model_feats())[: sub.n_valid]
@@ -260,6 +268,8 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
             out_items.append((rec, tagged))
         write_q.put(out_items)
 
+    trace_ctx.__exit__(None, None, None)
+    meter.log()
     t_prod.join()
     write_q.put(None)
     t_write.join()
@@ -272,6 +282,13 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         tmp_sorted = os.path.splitext(out_modbam)[0] + ".sorted.bam"
         sort_bam_in_memory(out_modbam, tmp_sorted)
         os.replace(tmp_sorted, out_modbam)
+        try:
+            LOGGER.info("indexing modbam file..")
+            from ..bamio.bai import build_index
+
+            build_index(out_modbam)
+        except Exception:  # noqa: BLE001 (reference also warns-and-continues)
+            LOGGER.warning("failed indexing modbam file..")
     LOGGER.info(
         "call_mods finished: %d reads in (%d failed), %d sites, %d written (%d tagged),"
         " %.1fs", stats.reads_in, stats.reads_failed, stats.sites,

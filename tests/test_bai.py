@@ -1,0 +1,78 @@
+"""BAI index build + region fetch: fetch results must equal a brute-force scan."""
+
+import numpy as np
+import pytest
+
+from ccsmeth_tpu.bamio import BamReader
+from ccsmeth_tpu.bamio.bai import BaiIndex, build_index, fetch_region, index_bam_if_needed
+
+from tests.synth import make_synth_bam
+
+
+@pytest.fixture(scope="module")
+def sorted_bam(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bai")
+    p = str(tmp / "s.bam")
+    make_synth_bam(p, n_reads=80, read_len=300, ref_len=20000, seed=42)
+    return p
+
+
+def _brute_force(bam, start, stop):
+    out = []
+    for rec in BamReader(bam):
+        if rec.is_unmapped or rec.ref_id != 0:
+            continue
+        if rec.pos < stop and rec.reference_end > start:
+            out.append(rec.qname)
+    return out
+
+
+def test_build_and_parse_index(sorted_bam):
+    bai = build_index(sorted_bam)
+    idx = BaiIndex(bai)
+    assert idx.n_ref == 1
+    bins, linear = idx.refs[0]
+    assert bins and len(linear) > 0
+
+
+@pytest.mark.parametrize("region", [(0, 1000), (5000, 6000), (9990, 10310),
+                                    (0, 20000), (19990, 20000)])
+def test_fetch_matches_brute_force(sorted_bam, region):
+    start, stop = region
+    got = sorted(r.qname for r in fetch_region(sorted_bam, "chrS", start, stop))
+    want = sorted(_brute_force(sorted_bam, start, stop))
+    assert got == want
+
+
+def test_fetch_unknown_contig(sorted_bam):
+    assert list(fetch_region(sorted_bam, "chrX", 0, 100)) == []
+
+
+def test_index_if_needed(sorted_bam, tmp_path):
+    import os
+    import shutil
+
+    p = str(tmp_path / "c.bam")
+    shutil.copy(sorted_bam, p)
+    out = index_bam_if_needed(p)
+    assert out.endswith(".bai") and os.path.exists(out)
+    # second call is a no-op
+    mtime = os.path.getmtime(out)
+    assert index_bam_if_needed(p) == out
+    assert os.path.getmtime(out) == mtime
+
+
+def test_unsorted_bam_rejected(tmp_path):
+    from ccsmeth_tpu.bamio import BamWriter
+
+    p = str(tmp_path / "u.bam")
+    src = str(tmp_path / "src.bam")
+    make_synth_bam(src, n_reads=10, read_len=100, ref_len=2000, seed=1)
+    rd = BamReader(src)
+    recs = list(rd)
+    recs.reverse()
+    with BamWriter(p, rd.header) as w:
+        for r in recs:
+            w.write(r)
+    with pytest.raises(ValueError, match="not coordinate-sorted"):
+        build_index(p)
