@@ -1,25 +1,26 @@
-"""Fused bidirectional GRU recurrence as a Pallas TPU kernel.
+"""Fully-fused bidirectional GRU layer as a Pallas TPU kernel.
 
 The BiGRU recurrence is the hot loop of the call_mods model (SURVEY.md §3.1, "HOT
 LOOP #2"). Design (TPU-first, not a torch translation):
 
-  1. The input projection x@W_ih (+b_ih) for ALL timesteps and both directions is
-     hoisted OUT of the kernel into one large MXU matmul — it has no sequential
-     dependency, so it never sits inside the recurrence.
-  2. The kernel walks the L sequential steps with the recurrent weights W_hh/b_hh
-     (both directions) and both hidden states resident in VMEM: per step, two
-     (B_TILE, H) @ (H, 3H) MXU matmuls + VPU gate math, no HBM traffic besides
-     the streamed xp/out blocks. Gate math matches torch exactly: hg = h@U + b_hh
-     lands b_hh inside the reset product for the n gate (models/rnn.py has the
-     same identity).
-  3. grid = (num_batch_tiles,); xp blocks stream in (B_TILE, L, 2*3H) — fwd gates
-     then bwd gates (bwd pre-reversed in time) — outputs stream out (B_TILE, L, 2H)
-     with torch's bidirectional layout.
+  - grid = (batch_tiles, L) with time innermost; the two direction hidden states
+    persist across grid steps in VMEM scratch;
+  - the layer input streams in TWICE per cell via two BlockSpec index maps (time
+    t for the forward direction, L-1-t for the backward one), so BOTH the input
+    projection x@W_ih and the recurrent h@W_hh run inside the cell with all
+    weights VMEM-resident — no (L, B, 6H) gate tensor is ever materialized in
+    HBM (that projection tensor dominated an earlier xp-hoisted design: ~20ms of
+    layout-bound HBM traffic per layer vs ~2ms of matmul);
+  - per cell and direction: (B_TILE, C) @ (C, 3H) + (B_TILE, H) @ (H, 3H) MXU
+    matmuls + VPU gate math; outputs stream out per direction ((L, B, H) fwd in
+    time order, bwd reversed — un-flipped once per layer by the caller);
+  - gate math matches torch exactly: hg = h@U + b_hh lands b_hh inside the reset
+    product for the n gate (same identity as models/rnn.py).
 
 Zero h0 only (this engine's deterministic default); the lax.scan path
 (models/rnn.py) remains the reference-semantics implementation (randn-h0 replay,
 LSTM, training dropout). compute_dtype=jnp.bfloat16 runs MXU-native with f32
-accumulation and halves the streamed-block VMEM footprint.
+accumulation; f32 keeps fp32-grade numerics at roughly half the throughput.
 """
 
 from __future__ import annotations
@@ -32,19 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _recurrence_kernel(xp_ref, whh_ref, bhh_ref, outf_ref, outb_ref,
-                       hf_ref, hb_ref, *, H: int, compute_dtype):
-    """One (batch_tile, timestep) grid cell.
-
-    The grid is (n_batch_tiles, L) with time innermost; the hidden states live in
-    VMEM scratch (hf_ref/hb_ref) persisting across grid steps, so each cell is
-    exactly one (B_TILE, H) @ (H, 3H) MXU matmul per direction at full batch tile
-    width — Pallas pipelines the next timestep's xp DMA behind it.
-
-    xp_ref: (1, B_TILE, 2*3H) this timestep's x@W_ih+b_ih (fwd | time-reversed bwd);
-    outf/outb: (1, B_TILE, H) per-direction outputs (bwd in reversed time,
-    un-flipped by the caller).
-    """
+def _fused_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
+                  outf_ref, outb_ref, hf_ref, hb_ref, *, H: int, compute_dtype):
+    """One (batch_tile, timestep) cell; sees x[t] (fwd) and x[L-1-t] (bwd)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -52,19 +43,20 @@ def _recurrence_kernel(xp_ref, whh_ref, bhh_ref, outf_ref, outb_ref,
         hf_ref[...] = jnp.zeros_like(hf_ref)
         hb_ref[...] = jnp.zeros_like(hb_ref)
 
-    G = 3 * H
-    xg = xp_ref[0]  # stays in storage dtype; gate slices upcast lazily (VMEM stack)
-
-    def cell(xg, h, whh, bhh):
+    def cell(x_t, h, wih, bih, whh, bhh):
+        xg = jnp.dot(x_t.astype(compute_dtype), wih.astype(compute_dtype),
+                     preferred_element_type=jnp.float32) + bih
         hg = jnp.dot(h.astype(compute_dtype), whh.astype(compute_dtype),
                      preferred_element_type=jnp.float32) + bhh
-        r = jax.nn.sigmoid(xg[:, :H].astype(jnp.float32) + hg[:, :H])
-        z = jax.nn.sigmoid(xg[:, H : 2 * H].astype(jnp.float32) + hg[:, H : 2 * H])
-        n = jnp.tanh(xg[:, 2 * H :].astype(jnp.float32) + r * hg[:, 2 * H :])
+        r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
+        z = jax.nn.sigmoid(xg[:, H : 2 * H] + hg[:, H : 2 * H])
+        n = jnp.tanh(xg[:, 2 * H :] + r * hg[:, 2 * H :])
         return (1.0 - z) * n + z * h
 
-    h_f = cell(xg[:, :G], hf_ref[...], whh_ref[0], bhh_ref[0].astype(jnp.float32))
-    h_b = cell(xg[:, G:], hb_ref[...], whh_ref[1], bhh_ref[1].astype(jnp.float32))
+    h_f = cell(xf_ref[0], hf_ref[...], wih_ref[0], bih_ref[0].astype(jnp.float32),
+               whh_ref[0], bhh_ref[0].astype(jnp.float32))
+    h_b = cell(xb_ref[0], hb_ref[...], wih_ref[1], bih_ref[1].astype(jnp.float32),
+               whh_ref[1], bhh_ref[1].astype(jnp.float32))
     hf_ref[...] = h_f
     hb_ref[...] = h_b
     outf_ref[0] = h_f.astype(outf_ref.dtype)
@@ -73,26 +65,30 @@ def _recurrence_kernel(xp_ref, whh_ref, bhh_ref, outf_ref, outb_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("b_tile", "compute_dtype", "interpret"))
-def _recurrence_call(xp, whh, bhh, b_tile, compute_dtype, interpret):
-    """xp: (L, B, 2*3H) -> (out_f (L, B, H), out_b (L, B, H) in reversed time)."""
-    L, B, G2 = xp.shape
-    G = G2 // 2
-    H = G // 3
+def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret):
+    """x_tm: (L, B, C) time-major -> (out_f (L, B, H), out_b reversed-time)."""
+    L, B, C = x_tm.shape
+    H = whh.shape[-1] // 3
     if B % b_tile != 0:
         pad = b_tile - B % b_tile
-        xp = jnp.pad(xp, ((0, 0), (0, pad), (0, 0)))
-    Bp = xp.shape[1]
-    out_dtype = xp.dtype  # bf16 in the bf16 path halves output stream volume
-    kernel = functools.partial(_recurrence_kernel, H=H, compute_dtype=compute_dtype)
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
+    Bp = x_tm.shape[1]
+    out_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+    kernel = functools.partial(_fused_kernel, H=H, compute_dtype=compute_dtype)
     out_f, out_b = pl.pallas_call(
         kernel,
         grid=(Bp // b_tile, L),
         in_specs=[
-            pl.BlockSpec((1, b_tile, G2), lambda i, t: (t, i, 0),
+            pl.BlockSpec((1, b_tile, C), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, H, G), lambda i, t: (0, 0, 0),
+            pl.BlockSpec((1, b_tile, C), lambda i, t, L=L: (L - 1 - t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, G), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, C, 3 * H), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3 * H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, 3 * H), lambda i, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3 * H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, b_tile, H), lambda i, t: (t, i, 0),
@@ -109,7 +105,7 @@ def _recurrence_call(xp, whh, bhh, b_tile, compute_dtype, interpret):
             pltpu.VMEM((b_tile, H), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, whh, bhh)
+    )(x_tm, x_tm, wih, bih, whh, bhh)
     return out_f[:, :B], out_b[:, :B]
 
 
@@ -121,60 +117,72 @@ def _on_tpu() -> bool:
 
 
 def _default_tile(compute_dtype) -> int:
-    # per-(tile, step) xp block bytes = b_tile * 6H(1536) * itemsize; the budget
-    # also covers double buffering, two out blocks, weights, two (b_tile, H) f32
-    # state scratches AND the kernel's f32 gate intermediates (hg/r/z/n) — 512
-    # is the largest tile that reliably fits 16MB VMEM for H=256
+    # VMEM per cell: 2 x-blocks (b_tile*C) + weights (2*(C+H)*3H) + 2 out blocks
+    # (b_tile*H) + 2 f32 state scratches + f32 gate intermediates; 512 fits for
+    # C<=512, H=256 in bf16 and f32
     return 512
+
+
+def _layer_weights(layer: dict):
+    wih = jnp.stack([jnp.asarray(layer["fwd"]["w_ih"]).T,
+                     jnp.asarray(layer["bwd"]["w_ih"]).T])  # (2, C, 3H)
+    bih = jnp.stack([jnp.asarray(layer["fwd"]["b_ih"]),
+                     jnp.asarray(layer["bwd"]["b_ih"])])
+    whh = jnp.stack([jnp.asarray(layer["fwd"]["w_hh"]).T,
+                     jnp.asarray(layer["bwd"]["w_hh"]).T])  # (2, H, 3H)
+    bhh = jnp.stack([jnp.asarray(layer["fwd"]["b_hh"]),
+                     jnp.asarray(layer["bwd"]["b_hh"])])
+    return wih, bih, whh, bhh
 
 
 def bigru_layer_pallas(layer: dict, x: jnp.ndarray, b_tile: int | None = None,
                        compute_dtype=jnp.float32,
                        interpret: bool | None = None) -> jnp.ndarray:
-    """One bidirectional GRU layer, zero h0. x: (B, L, C) -> (B, L, 2H) f32."""
+    """One bidirectional GRU layer, zero h0. x: (B, L, C) -> (B, L, 2H) f32.
+
+    Batch-major convenience wrapper; multi-layer callers should use
+    birnn_apply_pallas which keeps the time-major layout across layers.
+    """
     if interpret is None:
         interpret = not _on_tpu()
     if b_tile is None:
         b_tile = _default_tile(compute_dtype)
-    B, L, _C = x.shape
-    wih = jnp.stack([jnp.asarray(layer["fwd"]["w_ih"]).T,
-                     jnp.asarray(layer["bwd"]["w_ih"]).T])  # (2, C, 3H)
-    b_ih = jnp.stack([jnp.asarray(layer["fwd"]["b_ih"]),
-                      jnp.asarray(layer["bwd"]["b_ih"])])  # (2, 3H)
-    whh = jnp.stack([jnp.asarray(layer["fwd"]["w_hh"]).T,
-                     jnp.asarray(layer["bwd"]["w_hh"]).T])  # (2, H, 3H)
-    bhh = jnp.stack([jnp.asarray(layer["fwd"]["b_hh"]),
-                     jnp.asarray(layer["bwd"]["b_hh"])])  # (2, 3H)
-    # hoisted input projection, one big MXU matmul over (B*L) rows per direction;
-    # bwd direction consumes time-reversed inputs; layout time-major for the kernel
-    x_pair = jnp.stack([x, jnp.flip(x, axis=1)], axis=2)  # (B, L, 2, C)
-    xp = jnp.einsum("bldc,dcg->lbdg", x_pair.astype(compute_dtype),
-                    wih.astype(compute_dtype),
-                    preferred_element_type=jnp.float32) + b_ih[None, None, :, :]
-    xp = xp.reshape(L, B, -1)  # (L, B, 2*3H): fwd gates | bwd gates
+    b_tile = min(b_tile, max(8, x.shape[0]))
+    wih, bih, whh, bhh = _layer_weights(layer)
+    x_tm = jnp.transpose(x, (1, 0, 2))
     if compute_dtype == jnp.bfloat16:
-        xp = xp.astype(jnp.bfloat16)
-    b_tile = min(b_tile, max(8, B))
-    out_f, out_b = _recurrence_call(xp, whh, bhh, b_tile, compute_dtype, interpret)
-    # bwd ran on time-reversed inputs: un-flip, then back to batch-major
-    out = jnp.concatenate([out_f, jnp.flip(out_b, axis=0)], axis=-1)  # (L, B, 2H)
-    return jnp.transpose(out, (1, 0, 2))  # (B, L, 2H)
+        x_tm = x_tm.astype(jnp.bfloat16)
+    out_f, out_b = _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile,
+                                     compute_dtype, interpret)
+    out = jnp.concatenate([out_f, jnp.flip(out_b, axis=0)], axis=-1)
+    return jnp.transpose(out, (1, 0, 2)).astype(jnp.float32)
 
 
 def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
                        compute_dtype=jnp.float32, b_tile: int | None = None,
                        interpret: bool | None = None):
-    """Multi-layer BiGRU on the fused kernel; returns (outputs, h_n torch-layout).
+    """Multi-layer BiGRU on the fused kernel; returns (outputs (B, L, 2H) f32,
+    h_n in torch layout).
 
-    h_n is reconstructed from the outputs (zero-h0 GRU: h_n fwd = out[:, -1, :H],
-    h_n bwd = out[:, 0, H:]) so attention's last-layer query needs no extra state.
+    The time-major (L, B, *) layout is kept across layers — exactly one
+    transpose in and one out; the backward stream is un-reversed with a cheap
+    flip between layers. h_n is reconstructed from layer outputs (zero-h0 GRU:
+    final fwd state = out[t=L-1], final bwd state = out[t=0]).
     """
-    out = x
+    if interpret is None:
+        interpret = not _on_tpu()
+    if b_tile is None:
+        b_tile = _default_tile(compute_dtype)
+    b_tile = min(b_tile, max(8, x.shape[0]))
+    x_tm = jnp.transpose(x, (1, 0, 2))  # (L, B, C)
+    if compute_dtype == jnp.bfloat16:
+        x_tm = x_tm.astype(jnp.bfloat16)
     h_ns = []
-    H = jnp.asarray(layers[0]["fwd"]["w_hh"]).shape[0] // 3
     for ld in layers:
-        out = bigru_layer_pallas(ld, out, b_tile=b_tile,
-                                 compute_dtype=compute_dtype, interpret=interpret)
-        h_ns.append(jnp.stack([out[:, -1, :H], out[:, 0, H:]], axis=0)
-                    .astype(jnp.float32))
-    return out.astype(jnp.float32), jnp.concatenate(h_ns, axis=0)
+        wih, bih, whh, bhh = _layer_weights(ld)
+        out_f, out_b = _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile,
+                                         compute_dtype, interpret)
+        x_tm = jnp.concatenate([out_f, jnp.flip(out_b, axis=0)], axis=-1)
+        h_ns.append(jnp.stack([out_f[-1], out_b[-1]], axis=0).astype(jnp.float32))
+    out = jnp.transpose(x_tm, (1, 0, 2)).astype(jnp.float32)
+    return out, jnp.concatenate(h_ns, axis=0)
