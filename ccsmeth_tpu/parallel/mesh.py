@@ -35,20 +35,80 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None):
 
     Works on one device (trivial mesh) or many; batch dim must divide the mesh size
     (callers pad to a fixed batch). Params are replicated once up front.
+
+    Host->device traffic is minimized: only the ACTIVE feature channels transfer
+    (kmer as int8, per-read npass as one scalar per site); disabled channels
+    (stds/sn/map when the model config has them off — the production default) are
+    synthesized as zeros ON DEVICE inside the jit. The returned callable also
+    exposes ``.dispatch(feats)`` -> device future and ``.collect(fut)`` so callers
+    can pipeline transfers against compute.
     """
     if mesh is None:
         mesh = data_mesh()
     batch_sharding = shard_batch_spec(mesh)
     rep = replicated_spec(mesh)
     params = jax.device_put(params, rep)
+    L = cfg.seq_len
+    need_stds = getattr(cfg, "is_stds", False)
+    need_sn = getattr(cfg, "is_sn", False)
+    need_map = getattr(cfg, "is_map", False)
 
     @jax.jit
-    def _predict(feats):
+    def _predict(compact):
+        B = compact["kmer"].shape[0]
+        feats = {}
+        for s in ("", "2"):
+            feats["kmer" + s] = compact["kmer" + s].astype(jnp.float32)
+            feats["kpass" + s] = jnp.broadcast_to(
+                compact["kpass" + s][:, None].astype(jnp.float32), (B, L))
+            feats["ipd_means" + s] = compact["ipd_means" + s].astype(jnp.float32)
+            feats["pw_means" + s] = compact["pw_means" + s].astype(jnp.float32)
+            feats["ipd_stds" + s] = (compact["ipd_stds" + s].astype(jnp.float32)
+                                     if need_stds else jnp.zeros((B, L)))
+            feats["pw_stds" + s] = (compact["pw_stds" + s].astype(jnp.float32)
+                                    if need_stds else jnp.zeros((B, L)))
+            feats["sns" + s] = (compact["sns" + s].astype(jnp.float32)
+                                if need_sn else jnp.zeros((B, 4)))
+            feats["maps" + s] = (compact["maps" + s].astype(jnp.float32)
+                                 if need_map else jnp.zeros((B, L)))
         _logits, probs = apply_fn(params, cfg, feats)
         return probs
 
-    def predict(feats: dict) -> np.ndarray:
-        feats = {k: jax.device_put(v, batch_sharding) for k, v in feats.items()}
-        return np.asarray(_predict(feats))
+    def _compact(feats: dict) -> dict:
+        out = {}
+        B = np.asarray(feats["kmer"]).shape[0]
 
+        def opt(key, shape):
+            v = feats.get(key)
+            return (np.zeros(shape, np.float32) if v is None
+                    else np.asarray(v, np.float32))
+
+        for s in ("", "2"):
+            out["kmer" + s] = np.asarray(feats["kmer" + s], np.int8)
+            kp = np.asarray(feats["kpass" + s])
+            out["kpass" + s] = (kp[:, 0] if kp.ndim == 2 else kp).astype(np.float32)
+            out["ipd_means" + s] = np.asarray(feats["ipd_means" + s], np.float32)
+            out["pw_means" + s] = np.asarray(feats["pw_means" + s], np.float32)
+            if need_stds:
+                out["ipd_stds" + s] = opt("ipd_stds" + s, (B, L))
+                out["pw_stds" + s] = opt("pw_stds" + s, (B, L))
+            if need_sn:
+                out["sns" + s] = opt("sns" + s, (B, 4))
+            if need_map:
+                out["maps" + s] = opt("maps" + s, (B, L))
+        return out
+
+    def dispatch(feats: dict):
+        compact = {k: jax.device_put(v, batch_sharding)
+                   for k, v in _compact(feats).items()}
+        return _predict(compact)
+
+    def collect(fut) -> np.ndarray:
+        return np.asarray(fut)
+
+    def predict(feats: dict) -> np.ndarray:
+        return collect(dispatch(feats))
+
+    predict.dispatch = dispatch
+    predict.collect = collect
     return predict

@@ -219,11 +219,37 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     t_write.start()
 
     rm_pulse = not cfg.keep_pulse
+    from collections import deque
+
     from ..utils.observe import ThroughputMeter, device_trace
 
     meter = ThroughputMeter("call_mods")
     trace_ctx = device_trace(cfg.profile_dir)
     trace_ctx.__enter__()
+
+    # device dispatches pipeline ahead of result collection (double buffering):
+    # a holebatch's sub-batches are dispatched immediately; tagging/writing of a
+    # previous holebatch overlaps the transfers/compute of the next
+    pending: deque = deque()
+
+    def finalize(item):
+        holebatch, idx_map, subs = item
+        read_preds: dict[int, list[tuple[int, float]]] = {}
+        for fut, sub in subs:
+            probs = predict.collect(fut)[: sub.n_valid]
+            p0 = probs[:, 0].astype(np.float64)
+            p1 = probs[:, 1].astype(np.float64)
+            p1n = p1 / (p0 + p1)
+            for j in range(sub.n_valid):
+                ridx = int(idx_map[sub.read_idx[j]])
+                read_preds.setdefault(ridx, []).append(
+                    (int(sub.locs[j]), round(float(p1n[j]), 6)))
+        out_items = []
+        for i, rec in enumerate(holebatch):
+            tagged = add_mm_ml_to_record(rec, read_preds.get(i, []), rm_pulse)
+            out_items.append((rec, tagged))
+        write_q.put(out_items)
+
     while True:
         holebatch = batch_q.get()
         if holebatch is None:
@@ -244,29 +270,22 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
             if rf is None:
                 stats.reads_failed += 1
             feats_per_read.append(rf)
-        # predictions per read index
-        read_preds: dict[int, list[tuple[int, float]]] = {}
         kept = [(i, rf) for i, rf in enumerate(feats_per_read) if rf is not None]
         batch = batch_from_reads([rf for _i, rf in kept], cfg.seq_len)
+        subs = []
+        idx_map = np.empty(0, dtype=np.int64)
         if batch is not None:
             idx_map = np.array([i for i, _rf in kept], dtype=np.int64)
             stats.sites += len(batch)
             meter.add("sites", len(batch))
             for s in range(0, len(batch), pad_n):
-                sub = _slice_batch(batch, s, min(s + pad_n, len(batch))).pad_to(pad_n)
-                probs = predict(sub.model_feats())[: sub.n_valid]
-                p0 = probs[:, 0].astype(np.float64)
-                p1 = probs[:, 1].astype(np.float64)
-                p1n = p1 / (p0 + p1)
-                for j in range(sub.n_valid):
-                    ridx = int(idx_map[sub.read_idx[j]])
-                    read_preds.setdefault(ridx, []).append(
-                        (int(sub.locs[j]), round(float(p1n[j]), 6)))
-        out_items = []
-        for i, rec in enumerate(holebatch):
-            tagged = add_mm_ml_to_record(rec, read_preds.get(i, []), rm_pulse)
-            out_items.append((rec, tagged))
-        write_q.put(out_items)
+                sub = batch.slice(s, min(s + pad_n, len(batch))).pad_to(pad_n)
+                subs.append((predict.dispatch(sub.compact_feats()), sub))
+        pending.append((holebatch, idx_map, subs))
+        while len(pending) > 2:
+            finalize(pending.popleft())
+    while pending:
+        finalize(pending.popleft())
 
     trace_ctx.__exit__(None, None, None)
     meter.log()
@@ -294,15 +313,6 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         " %.1fs", stats.reads_in, stats.reads_failed, stats.sites,
         stats.reads_written, stats.reads_tagged, time.time() - t_start)
     return out_modbam
-
-
-def _slice_batch(batch: FeatureBatch, s: int, e: int) -> FeatureBatch:
-    kw = {}
-    for f in dataclasses.fields(FeatureBatch):
-        if f.name == "n_valid":
-            continue
-        kw[f.name] = getattr(batch, f.name)[s:e]
-    return FeatureBatch(**kw, n_valid=e - s)
 
 
 # ---------------------------------------------------------------------------------------
@@ -373,7 +383,7 @@ def _parse_tsv_batch(rows: list[list[str]], seq_len: int, holeids_e, holeids_ne)
         chrom_pos=np.zeros(N, np.int64),
         **{k: np.stack(v).astype(np.float32) if k != "labels" else np.asarray(v, np.int32)
            for k, v in cols.items()},
-        n_valid=N,
+        n_valid=N, seq_len=seq_len,
     )
     return batch, sampleinfo
 
@@ -420,8 +430,8 @@ def _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf):
     if batch is None:
         return
     for s in range(0, len(batch), pad_n):
-        sub = _slice_batch(batch, s, min(s + pad_n, len(batch))).pad_to(pad_n)
-        probs = predict(sub.model_feats())[: sub.n_valid]
+        sub = batch.slice(s, min(s + pad_n, len(batch))).pad_to(pad_n)
+        probs = predict(sub.compact_feats())[: sub.n_valid]
         predicted = np.argmax(probs, axis=1)
         for j in range(sub.n_valid):
             i = s + j

@@ -227,11 +227,17 @@ def test_batch_from_reads_shapes(tmp_path):
     batch = batch_from_reads(feats)
     N = len(batch)
     assert N == sum(f.n_sites for f in feats if f is not None)
-    for name in ("kmer", "kpass", "ipd_means", "pw_means", "kmer2", "ipd_means2"):
+    for name in ("kmer", "ipd_means", "pw_means", "kmer2", "ipd_means2"):
         assert getattr(batch, name).shape == (N, 21)
-        assert getattr(batch, name).dtype == np.float32
-    assert batch.sns.shape == (N, 4)
+    assert batch.kmer.dtype == np.uint8
+    assert batch.ipd_means.dtype == np.float32
+    assert batch.kpass.shape == (N,)  # per-read scalar, broadcast on device
+    assert batch.sns is None  # sn extraction off -> lazy channel
+    mf = batch.model_feats()
+    assert mf["kpass"].shape == (N, 21) and mf["sns"].shape == (N, 4)
+    cf = batch.compact_feats()
+    assert "sns" not in cf and cf["kmer"].dtype == np.int8
     padded = batch.pad_to(N + 7)
     assert len(padded) == N + 7 and padded.n_valid == N
     np.testing.assert_array_equal(padded.kmer[:N], batch.kmer)
-    assert float(np.abs(padded.kmer[N:]).sum()) == 0.0
+    assert float(np.abs(padded.kmer[N:].astype(int)).sum()) == 0.0
