@@ -411,6 +411,13 @@ def get_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("trainm", help="train a model across chips/hosts "
                                       "(same mesh loop as train)")
     _add_train_args(p)
+    # trainm additionally accepts the single-strand families (reference
+    # train_multigpu.py:142-152 + FeaData3ss)
+    for a in p._actions:
+        if a.dest == "model_type":
+            a.choices = ["attbilstm2s", "attbigru2s", "transencoder2s",
+                         "attbilstm2s2", "attbigru2s2", "attbigru1s",
+                         "attbilstm1s"]
     g = p.add_argument_group("DISTRIBUTED")
     g.add_argument("--dist_coordinator", type=str, default=None,
                    help="coordinator address host:port for jax.distributed "

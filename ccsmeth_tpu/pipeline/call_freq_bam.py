@@ -539,6 +539,15 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
                 w.write(rf.read())
             os.remove(path)
             path += ".gz"
+            if cfg.sort:
+                # tabix-index sorted bgzipped outputs (reference: pysam.tabix_index,
+                # call_mods_freq_bam.py:674)
+                try:
+                    from ..bamio.tabix import build_tabix_index
+
+                    build_tabix_index(path)
+                except Exception:  # noqa: BLE001
+                    LOGGER.warning("failed tabix-indexing %s", path)
         outputs.append(path)
     LOGGER.info("[main]call_freq_bam costs %.1f seconds", time.time() - t0)
     return outputs

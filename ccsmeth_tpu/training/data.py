@@ -20,14 +20,20 @@ _FEATURE_KEYS = (
     "kmer2", "kpass2", "ipd_means2", "ipd_stds2", "pw_means2", "pw_stds2", "sns2",
     "maps2",
 )
+_FEATURE_KEYS_SS = (
+    "kmer", "kpass", "ipd_means", "ipd_stds", "pw_means", "pw_stds", "sns", "maps",
+)
 
 
-def load_feature_tsv(path: str, seq_len: int = 21) -> dict[str, np.ndarray]:
-    """Parse a (possibly gzipped) 22-column feature TSV into columnar arrays.
-
-    Kmer columns longer than seq_len are center-truncated like the reference
-    formatter (_call_modifications_txt.py:159-166).
+def load_feature_tsv(path: str, seq_len: int = 21,
+                     single_strand: bool = False) -> dict[str, np.ndarray]:
+    """Parse a (possibly gzipped) feature TSV into columnar arrays — 22 columns for
+    two-strand rows, 14 for single-strand (reference dataloader.py:198-218,
+    parse_a_liness). Kmer columns longer than seq_len are center-truncated like
+    the reference formatter (_call_modifications_txt.py:159-166).
     """
+    if single_strand:
+        return _load_feature_tsv_ss(path, seq_len)
     opener = gzip.open if path.endswith(".gz") else open
     base_lut = np.full(256, 4, dtype=np.float32)
     for b, c in BASE2CODE_DNA.items():
@@ -83,14 +89,56 @@ def load_feature_tsv(path: str, seq_len: int = 21) -> dict[str, np.ndarray]:
     return data
 
 
+def _load_feature_tsv_ss(path: str, seq_len: int) -> dict[str, np.ndarray]:
+    opener = gzip.open if path.endswith(".gz") else open
+    base_lut = np.full(256, 4, dtype=np.float32)
+    for b, c in BASE2CODE_DNA.items():
+        base_lut[ord(b)] = c
+    cols: dict[str, list] = {k: [] for k in _FEATURE_KEYS_SS}
+    labels: list[int] = []
+
+    def vec(txt, lc, rc, n):
+        if txt == ".":
+            return np.zeros(n, np.float32)
+        return np.asarray(txt.split(",")[lc:rc], dtype=np.float32)
+
+    lc = rc = None
+    with opener(path, "rt") as rf:
+        for line in rf:
+            w = line.rstrip("\n").split("\t")
+            if len(w) < 14:
+                continue
+            if lc is None:
+                oriklen = len(w[5])
+                if oriklen < seq_len:
+                    raise ValueError("feature kmer shorter than --seq_len")
+                lc = (oriklen - seq_len) // 2
+                rc = oriklen - lc
+            kb = np.frombuffer(w[5][lc:rc].encode(), np.uint8)
+            cols["kmer"].append(base_lut[kb])
+            cols["kpass"].append(np.full(seq_len, float(int(w[6])), np.float32))
+            cols["ipd_means"].append(vec(w[7], lc, rc, seq_len))
+            cols["ipd_stds"].append(vec(w[8], lc, rc, seq_len))
+            cols["pw_means"].append(vec(w[9], lc, rc, seq_len))
+            cols["pw_stds"].append(vec(w[10], lc, rc, seq_len))
+            cols["sns"].append(np.zeros(4, np.float32) if w[11] == "." else
+                               np.asarray(w[11].split(","), dtype=np.float32))
+            cols["maps"].append(vec(w[12], lc, rc, seq_len))
+            labels.append(int(w[13]))
+    data = {k: np.stack(v).astype(np.float32) for k, v in cols.items() if v}
+    data["labels"] = np.asarray(labels, dtype=np.int32)
+    return data
+
+
 class FeatureDataset:
     def __init__(self, data: dict[str, np.ndarray]):
         self.data = data
         self.n = len(data["labels"])
 
     @classmethod
-    def from_tsv(cls, path: str, seq_len: int = 21) -> "FeatureDataset":
-        return cls(load_feature_tsv(path, seq_len))
+    def from_tsv(cls, path: str, seq_len: int = 21,
+                 single_strand: bool = False) -> "FeatureDataset":
+        return cls(load_feature_tsv(path, seq_len, single_strand))
 
     def __len__(self) -> int:
         return self.n

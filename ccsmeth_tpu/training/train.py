@@ -93,6 +93,10 @@ class TrainConfig:
 def _apply_fn(model_cfg):
     if isinstance(model_cfg, TransEncConfig):
         return apply_transenc
+    if not model_cfg.two_strand:
+        from ..models import apply_attrnn_ss
+
+        return apply_attrnn_ss
     return apply_attrnn
 
 
@@ -188,8 +192,9 @@ def train(cfg: TrainConfig) -> dict:
         model_dir += "/"
 
     LOGGER.info("reading data..")
-    train_ds = FeatureDataset.from_tsv(cfg.train_file, cfg.seq_len)
-    valid_ds = FeatureDataset.from_tsv(cfg.valid_file, cfg.seq_len)
+    single_strand = not model_cfg.two_strand if hasattr(model_cfg, "two_strand") else False
+    train_ds = FeatureDataset.from_tsv(cfg.train_file, cfg.seq_len, single_strand)
+    valid_ds = FeatureDataset.from_tsv(cfg.valid_file, cfg.seq_len, single_strand)
 
     params = _init_params(cfg, model_cfg)
     optimizer = build_optimizer(cfg.optim_type, cfg.lr)

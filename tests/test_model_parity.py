@@ -171,3 +171,31 @@ def test_attrnn_zero_h0_deterministic():
     l1, p1 = apply_attrnn(params, cfg, f)
     l2, p2 = apply_attrnn(params, cfg, f)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_attrnn_ss_parity():
+    """Single-strand family (ModelAttRNNss, trainm-only in the reference)."""
+    ref_models = import_reference_models()
+    from ccsmeth_tpu.models import apply_attrnn_ss
+
+    B, L, H, NL = 5, 21, 64, 2
+    cfg = AttRNNConfig(seq_len=L, num_layers=NL, hidden_size=H, dropout_rate=0,
+                       model_type="attbigru1s")
+    torch.manual_seed(31)
+    tm = ref_models.ModelAttRNNss(L, NL, 2, 0, H, model_type="attbigru1s")
+    tm.eval()
+    params = _attrnn_from_sd(_np_sd(tm), cfg)
+    rng = np.random.RandomState(6)
+    f = _rand_feats(rng, B, L, two=False)
+    seed = 55
+    (h0,) = torch_h0(seed, NL, B, H, 1)
+    logits_j, probs_j = apply_attrnn_ss(params, cfg, f, h0=h0.numpy())
+    t = lambda x: torch.tensor(x, dtype=torch.float)
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        logits_t, probs_t = tm(t(f["kmer"]), t(f["kpass"]), t(f["ipd_means"]),
+                               t(f["ipd_stds"]), t(f["pw_means"]), t(f["pw_stds"]),
+                               t(f["sns"]), t(f["maps"]))
+    np.testing.assert_allclose(np.asarray(logits_j), logits_t.numpy(), atol=2e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(probs_j), probs_t.numpy(), atol=2e-5)

@@ -157,3 +157,31 @@ def test_train_e2e_learns(tmp_path):
     preds = np.argmax(np.asarray(probs), axis=1)
     acc = float(np.mean(preds == data["labels"][:32]))
     assert acc > 0.85
+
+
+def test_train_single_strand(tmp_path):
+    """trainm's single-strand family (attbigru1s) trains on 14-col TSVs."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(0)
+    for name, n in (("tr", 200), ("va", 60)):
+        with open(str(tmp_path / (name + ".tsv")), "w") as f:
+            for i in range(n):
+                label = i % 2
+                kmer = "".join(rng.choice(list("ACGT"), 21))
+                ipd = rng.randn(21)
+                if label:
+                    ipd[8:13] += 2.5
+                f.write("\t".join([
+                    "chr1", str(i), "+", "r/{}/ccs".format(i), str(i), kmer, "9",
+                    ",".join(str(round(x, 6)) for x in ipd), ".",
+                    ",".join(str(round(x, 6)) for x in rng.randn(21)), ".", ".",
+                    ".", str(label)]) + "\n")
+    cfg = TrainConfig(
+        train_file=str(tmp_path / "tr.tsv"), valid_file=str(tmp_path / "va.tsv"),
+        model_dir=str(tmp_path / "m"), model_type="attbigru1s", layer_rnn=1,
+        hid_rnn=16, batch_size=32, dropout_rate=0.1, max_epoch_num=8,
+        min_epoch_num=3, step_interval=5, lr=0.01, tseed=1)
+    result = train(cfg)
+    assert result["best_accuracy"] > 0.85
+    assert glob.glob(str(tmp_path / "m" / "attbigru1s.b21_epoch*.ckpt.npz"))
