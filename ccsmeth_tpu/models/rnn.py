@@ -77,15 +77,17 @@ def birnn_apply(layers: list[dict], x: jnp.ndarray, h0: jnp.ndarray,
                         preferred_element_type=jnp.float32) + b_ih[:, None, None, :]
         b_hh = jnp.stack([ld["fwd"]["b_hh"], ld["bwd"]["b_hh"]], axis=0)
         # directions have separate weights: fold direction into the recurrent gate
-        # matmul via a batched einsum over (2, H, G) weights.
-        xp2 = xp.transpose(2, 0, 1, 3)  # (L, 2, B, G)
-        h0_l = jnp.stack([h0[2 * li], h0[2 * li + 1]], axis=0)  # (2, B, H)
+        # matmul via a batched einsum over (2, H, G) weights. The scan carry keeps
+        # BATCH in dim 0 ((B, 2, H), not (2, B, H)) so SPMD shards the data axis
+        # cleanly under pjit (dim-0 sharding is what the mesh propagates).
+        xp2 = xp.transpose(2, 1, 0, 3)  # (L, B, 2, G)
+        h0_l = jnp.stack([h0[2 * li], h0[2 * li + 1]], axis=1)  # (B, 2, H)
         if cell == "gru":
             w_hh_t = jnp.stack([ld["fwd"]["w_hh"].T, ld["bwd"]["w_hh"].T], axis=0)  # (2,H,3H)
 
             def step(h, xp_t):
-                hp = jnp.einsum("dbh,dhg->dbg", h, w_hh_t,
-                                preferred_element_type=jnp.float32) + b_hh[:, None, :]
+                hp = jnp.einsum("bdh,dhg->bdg", h, w_hh_t,
+                                preferred_element_type=jnp.float32) + b_hh[None, :, :]
                 g = xp_t
                 r = jax.nn.sigmoid(g[..., :H] + hp[..., :H])
                 z = jax.nn.sigmoid(g[..., H : 2 * H] + hp[..., H : 2 * H])
@@ -93,16 +95,16 @@ def birnn_apply(layers: list[dict], x: jnp.ndarray, h0: jnp.ndarray,
                 h_new = (1.0 - z) * n + z * h
                 return h_new, h_new
 
-            h_n, ys = jax.lax.scan(step, h0_l, xp2)  # ys: (L, 2, B, H)
-            h_ns.append(h_n)
+            h_n, ys = jax.lax.scan(step, h0_l, xp2)  # ys: (L, B, 2, H)
+            h_ns.append(jnp.moveaxis(h_n, 1, 0))
         else:
             w_hh_t = jnp.stack([ld["fwd"]["w_hh"].T, ld["bwd"]["w_hh"].T], axis=0)
-            c0_l = jnp.stack([c0[2 * li], c0[2 * li + 1]], axis=0)
+            c0_l = jnp.stack([c0[2 * li], c0[2 * li + 1]], axis=1)
 
             def step(carry, xp_t):
                 h, c = carry
-                g = xp_t + jnp.einsum("dbh,dhg->dbg", h, w_hh_t,
-                                      preferred_element_type=jnp.float32) + b_hh[:, None, :]
+                g = xp_t + jnp.einsum("bdh,dhg->bdg", h, w_hh_t,
+                                      preferred_element_type=jnp.float32) + b_hh[None, :, :]
                 i = jax.nn.sigmoid(g[..., :H])
                 f = jax.nn.sigmoid(g[..., H : 2 * H])
                 gg = jnp.tanh(g[..., 2 * H : 3 * H])
@@ -112,10 +114,10 @@ def birnn_apply(layers: list[dict], x: jnp.ndarray, h0: jnp.ndarray,
                 return (h_new, c_new), h_new
 
             (h_n, c_n), ys = jax.lax.scan(step, (h0_l, c0_l), xp2)
-            h_ns.append(h_n)
-            c_ns.append(c_n)
-        fwd_out = ys[:, 0].transpose(1, 0, 2)  # (B, L, H)
-        bwd_out = jnp.flip(ys[:, 1].transpose(1, 0, 2), axis=1)  # un-flip time
+            h_ns.append(jnp.moveaxis(h_n, 1, 0))
+            c_ns.append(jnp.moveaxis(c_n, 1, 0))
+        fwd_out = ys[:, :, 0].transpose(1, 0, 2)  # (B, L, H)
+        bwd_out = jnp.flip(ys[:, :, 1].transpose(1, 0, 2), axis=1)  # un-flip time
         out = jnp.concatenate([fwd_out, bwd_out], axis=-1)  # (B, L, 2H)
         if dropout_rate > 0.0 and dropout_rng is not None and li < num_layers - 1:
             dropout_rng, sub = jax.random.split(dropout_rng)
