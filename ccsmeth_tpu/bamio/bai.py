@@ -90,8 +90,14 @@ class _RefIndex:
                 self.linear[w] = v_start
 
 
-def build_index(bam_path: str, bai_path: str | None = None) -> str:
-    """Linear-scan the BAM, emit .bai. Requires coordinate-sorted input."""
+def build_index(bam_path: str, bai_path: str | None = None,
+                span_blocks: int = 4096) -> str:
+    """Linear-scan the BAM, emit .bai. Requires coordinate-sorted input.
+
+    Streams the file in spans of ``span_blocks`` BGZF blocks (~256MB uncompressed)
+    so peak memory stays bounded for multi-GB BAMs; the native codec parallel-
+    decompresses each span.
+    """
     if bai_path is None:
         bai_path = bam_path + ".bai"
     with open(bam_path, "rb") as f:
@@ -107,46 +113,73 @@ def build_index(bam_path: str, bai_path: str | None = None) -> str:
             return (int(raw.__len__()) << 16)
         return (int(coffsets[i]) << 16) | int(u - cum_u[i])
 
-    # decompress all (native bulk when available)
     from .native import decompress_bgzf_bytes
 
-    data = decompress_bgzf_bytes(raw)
-    if data is None:
-        chunks = []
-        for off, _cs, _us in blocks:
-            payload, _next = _decompress_one(raw, off)
-            chunks.append(payload)
-        data = b"".join(chunks)
+    def span_iter():
+        """Yield decompressed spans covering the whole stream in order."""
+        for bs in range(0, len(blocks), span_blocks):
+            be = min(bs + span_blocks, len(blocks))
+            start = blocks[bs][0]
+            end = blocks[be - 1][0] + blocks[be - 1][1]
+            data = decompress_bgzf_bytes(raw[start:end])
+            if data is None:
+                data = b"".join(_decompress_one(raw, b[0])[0]
+                                for b in blocks[bs:be])
+            yield data
 
-    # parse header
+    spans = span_iter()
+    data = next(spans, b"")
+
+    def ensure(n_needed: int) -> bool:
+        """Extend `data` (trimmed at `base`) until it holds n_needed bytes past p."""
+        nonlocal data
+        while len(data) < n_needed:
+            nxt = next(spans, None)
+            if nxt is None:
+                return False
+            data = data + nxt
+        return True
+
+    # parse header (rolling window: `base` = absolute offset of data[0])
+    base = 0
+    ensure(8)
     if data[:4] != b"BAM\x01":
         raise ValueError("not a BAM file")
     (l_text,) = struct.unpack_from("<i", data, 4)
+    ensure(8 + l_text + 4)
     p = 8 + l_text
     (n_ref,) = struct.unpack_from("<i", data, p)
     p += 4
-    refs = []
     for _ in range(n_ref):
+        ensure(p + 8)
         (l_name,) = struct.unpack_from("<i", data, p)
-        p += 4 + l_name
-        (_l_ref,) = struct.unpack_from("<i", data, p)
-        p += 4
-        refs.append(None)
+        ensure(p + 8 + l_name)
+        p += 4 + l_name + 4
     header = BamHeader("", [("x", 1)] * n_ref)
 
     ref_indices = [_RefIndex() for _ in range(n_ref)]
     n_unmapped = 0
     last_rid = -2
     _last_pos = -1
-    while p + 4 <= len(data):
+    while True:
+        # trim consumed prefix to keep the window bounded
+        if p > (512 << 20):
+            data = data[p:]
+            base += p
+            p = 0
+        if not ensure(p + 4):
+            break
         (block_size,) = struct.unpack_from("<I", data, p)
         rec_start = p
         rec_end = p + 4 + block_size
+        if not ensure(rec_end):
+            break
         rec = decode_record(data[p + 4 : rec_end], header)
         if rec.ref_id >= 0 and not rec.is_unmapped:
             if rec.ref_id < last_rid or (rec.ref_id == last_rid and rec.pos < _last_pos):
                 raise ValueError("BAM is not coordinate-sorted; sort before indexing")
-            ref_indices[rec.ref_id].add(rec, voffset(rec_start), voffset(rec_end))
+            ref_indices[rec.ref_id].add(rec, voffset(base + rec_start),
+                                        voffset(base + rec_end))
             last_rid = rec.ref_id
             _last_pos = rec.pos
         else:
@@ -280,24 +313,49 @@ def fetch_region(bam_path: str, contig: str, start: int, stop: int,
     chunks = idx.chunks_for(rid, start, stop)
     if not chunks:
         return
-    with open(bam_path, "rb") as f:
-        raw = f.read()
     seen_starts = set()
+    fh = open(bam_path, "rb")
+    try:
+        yield from _iter_chunks(fh, chunks, header, rid, start, stop, seen_starts)
+    finally:
+        fh.close()
+
+
+def _iter_chunks(fh, chunks, header, rid, start, stop, seen_starts):
+    fh.seek(0, 2)
+    file_size = fh.tell()
     for v_s, v_e in chunks:
         c_s, u_s = v_s >> 16, v_s & 0xFFFF
         c_e = v_e >> 16
-        # decompress blocks [c_s .. c_e] (inclusive; a record may straddle into
-        # the block at c_e)
+        # read+decompress only blocks [c_s .. c_e] via seeks (a record may
+        # straddle into the block at c_e) — never the whole file
         buf = bytearray()
         block_starts = []  # (coffset, uncompressed offset within buf)
         off = c_s
-        while off < len(raw):
+        while off < file_size:
             block_starts.append((off, len(buf)))
-            payload, off2 = _decompress_one(raw, off)
+            fh.seek(off)
+            head = fh.read(18)
+            if len(head) < 18:
+                break
+            (xlen,) = struct.unpack_from("<H", head, 10)
+            extra = head[12:18] + (fh.read(xlen - 6) if xlen > 6 else b"")
+            bsize = None
+            q = 0
+            while q + 4 <= len(extra):
+                if extra[q] == 66 and extra[q + 1] == 67:
+                    (bsize,) = struct.unpack_from("<H", extra, q + 4)
+                    bsize += 1
+                q += 4 + struct.unpack_from("<H", extra, q + 2)[0]
+            if bsize is None:
+                raise ValueError("BGZF BC subfield missing")
+            fh.seek(off)
+            raw_block = fh.read(bsize)
+            payload, _ = _decompress_one(raw_block, 0)
             buf += payload
             if off >= c_e:
                 break
-            off = off2
+            off += bsize
         data = bytes(buf)
         co_arr = [b[0] for b in block_starts]
         uo_arr = [b[1] for b in block_starts]

@@ -60,8 +60,9 @@ class BgzfReader(io.RawIOBase):
     the feature-TSV paths accept .gz inputs.
     """
 
-    # files up to this size take the native parallel bulk-decompress path
-    NATIVE_BULK_LIMIT = 4 << 30
+    # compressed bytes pulled per native parallel-decompress span; bounds resident
+    # memory to ~4x this while keeping the thread pool fed
+    NATIVE_SPAN = 32 << 20
 
     def __init__(self, source, use_native: bool = True):
         if isinstance(source, (str, bytes)):
@@ -74,14 +75,22 @@ class BgzfReader(io.RawIOBase):
         self._buf_pos = 0
         self._block_start = 0  # file offset of current block
         self._eof = False
+        self._native = None
+        self._tail = b""  # partial trailing block carried between native spans
         head = self._fh.read(18)
         self._fh.seek(0)
         if head[:2] != b"\x1f\x8b":
             self._plain = True  # raw uncompressed
         elif len(head) >= 18 and (head[3] & 4) and head[12:14] == b"BC":
             self._plain = False  # BGZF
-            if use_native and self._own:
-                self._try_native_bulk(source)
+            if use_native:
+                try:
+                    from .native import decompress_bgzf_bytes, native_available
+
+                    if native_available():
+                        self._native = decompress_bgzf_bytes
+                except Exception:  # noqa: BLE001
+                    self._native = None
         else:
             # plain (non-blocked) gzip: wrap with stdlib streaming decompressor
             import gzip as _gzip
@@ -89,32 +98,70 @@ class BgzfReader(io.RawIOBase):
             self._fh = _gzip.GzipFile(fileobj=self._fh)
             self._plain = True
 
-    def _try_native_bulk(self, source) -> None:
-        """Whole-file parallel decompress through the native codec when present."""
-        try:
-            import os as _os
+    @staticmethod
+    def _complete_prefix_len(chunk: bytes) -> int:
+        """Byte length of the whole BGZF blocks at the start of ``chunk``."""
+        off = 0
+        n = len(chunk)
+        while off + 18 <= n:
+            if chunk[off : off + 2] != b"\x1f\x8b":
+                break
+            (xlen,) = struct.unpack_from("<H", chunk, off + 10)
+            if off + 12 + xlen > n:
+                break
+            bsize = None
+            p = off + 12
+            end = p + xlen
+            while p + 4 <= end:
+                si1, si2 = chunk[p], chunk[p + 1]
+                (slen,) = struct.unpack_from("<H", chunk, p + 2)
+                if si1 == 66 and si2 == 67 and slen == 2:
+                    bsize = struct.unpack_from("<H", chunk, p + 4)[0] + 1
+                p += 4 + slen
+            if bsize is None or off + bsize > n:
+                break
+            off += bsize
+        return off
 
-            if _os.path.getsize(source) > self.NATIVE_BULK_LIMIT:
-                return
-            from .native import decompress_bgzf_bytes
-
-            raw = self._fh.read()
-            data = decompress_bgzf_bytes(raw)
+    def _fill_native(self) -> bool:
+        """Pull a span of compressed bytes and parallel-decompress its complete
+        blocks; the split tail block carries into the next span."""
+        while True:
+            chunk = self._tail + self._fh.read(self.NATIVE_SPAN)
+            self._tail = b""
+            if not chunk:
+                self._eof = True
+                return False
+            cut = self._complete_prefix_len(chunk)
+            if cut == 0:
+                # can't frame a single block natively -> permanent python path
+                self._pushback(chunk)
+                self._native = None
+                return self._fill()
+            self._tail = chunk[cut:]
+            data = self._native(chunk[:cut])
             if data is None:
-                self._fh.seek(0)
-                return
-            self._fh.close()
-            import io as _io
+                self._pushback(chunk)
+                self._native = None
+                return self._fill()
+            if len(data) == 0:  # EOF marker block(s) only
+                continue
+            self._buf = data
+            self._buf_pos = 0
+            return True
 
-            self._fh = _io.BytesIO(data)
-            self._plain = True  # serve decompressed bytes directly
-        except Exception:  # noqa: BLE001 — any native hiccup -> streaming path
-            self._fh.seek(0)
+    def _pushback(self, chunk: bytes) -> None:
+        import io as _io
+
+        rest = self._fh.read()
+        self._fh = _io.BytesIO(chunk + rest)
 
     # -- internals ---------------------------------------------------------------
     def _fill(self) -> bool:
         if self._eof:
             return False
+        if not self._plain and self._native is not None:
+            return self._fill_native()
         if self._plain:
             chunk = self._fh.read(1 << 20)
             if not chunk:

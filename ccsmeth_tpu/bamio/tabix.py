@@ -190,21 +190,29 @@ class TabixFile:
         c_seq = self.preset["col_seq"] - 1
         c_beg = self.preset["col_beg"] - 1
         c_end = self.preset["col_end"] - 1 if self.preset["col_end"] > 0 else -1
-        seen = set()
+        import bisect
+
+        seen_voffsets = set()
         for v_s, v_e in merged:
             c_s, u_s = v_s >> 16, v_s & 0xFFFF
             c_e = v_e >> 16
             buf = bytearray()
+            block_starts = []  # (coffset, uncompressed offset within buf)
             off = c_s
             while off < len(self._raw):
+                block_starts.append((off, len(buf)))
                 payload, off2 = _decompress_one(self._raw, off)
                 buf += payload
                 if off >= c_e:
                     break
                 off = off2
             data = bytes(buf)
+            co_arr = [b[0] for b in block_starts]
+            uo_arr = [b[1] for b in block_starts]
             p = u_s
             while p < len(data):
+                bi = bisect.bisect_right(uo_arr, p) - 1
+                line_voffset = (co_arr[bi] << 16) | (p - uo_arr[bi])
                 nl = data.find(b"\n", p)
                 if nl < 0:
                     break
@@ -219,9 +227,8 @@ class TabixFile:
                 le = int(w[c_end]) if c_end >= 0 else lb + 1
                 if lb >= end:
                     break
-                key = (lb, bytes(line[:40]))
-                if key in seen:
-                    continue
-                seen.add(key)
+                if line_voffset in seen_voffsets:
+                    continue  # chunk-overlap dedup (identity = file position)
+                seen_voffsets.add(line_voffset)
                 if le > beg:
                     yield line.decode()

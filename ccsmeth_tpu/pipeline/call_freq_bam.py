@@ -477,12 +477,25 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     bed_all: list = []
     bed_hp1: list = []
     bed_hp2: list = []
+    # sort each contig's site positions ONCE; chunks then slice by searchsorted
+    # (the per-chunk dict-comprehension alternative rescans every contig site per
+    # chunk: O(sites x chunks), quadratic at genome scale)
+    sorted_acc: dict[str, tuple] = {}
+    for contig, acc in accs.items():
+        fwd_pos = np.fromiter(acc.fwd.keys(), np.int64, len(acc.fwd))
+        fwd_pos.sort()
+        rev_pos = np.fromiter(acc.rev.keys(), np.int64, len(acc.rev))
+        rev_pos.sort()
+        sorted_acc[contig] = (fwd_pos, rev_pos)
     for ref_name, ref_start, ref_end in ref_chunks:
         acc = accs.get(ref_name)
         if acc is None:
             continue
-        refposinfo = {p: v for p, v in acc.fwd.items() if ref_start <= p < ref_end}
-        refposinfo_rev = {p: v for p, v in acc.rev.items() if ref_start <= p < ref_end}
+        fwd_pos, rev_pos = sorted_acc[ref_name]
+        fs, fe = np.searchsorted(fwd_pos, [ref_start, ref_end])
+        rs, re_ = np.searchsorted(rev_pos, [ref_start, ref_end])
+        refposinfo = {int(p): acc.fwd[int(p)] for p in fwd_pos[fs:fe]}
+        refposinfo_rev = {int(p): acc.rev[int(p)] for p in rev_pos[rs:re_]}
         if not refposinfo and not refposinfo_rev:
             continue
         combine = cfg.motifs == "CG" and not cfg.no_comb
@@ -524,7 +537,9 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     outputs = []
     for tag, items in (("all", bed_all), ("hp1", bed_hp1), ("hp2", bed_hp2)):
         path = cfg.output + ".{}.{}.{}".format(cfg.call_mode, tag, fext)
-        if cfg.sort:
+        if cfg.sort or cfg.gzip:
+            # reference sorts whenever sorting OR gzipping (a tabix-indexed file
+            # must be coordinate-sorted; call_mods_freq_bam.py:668-676)
             items = sorted(items, key=lambda x: (x[0], x[1]))
         with open(path, "w") as wf:
             for item in items:
@@ -539,15 +554,14 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
                 w.write(rf.read())
             os.remove(path)
             path += ".gz"
-            if cfg.sort:
-                # tabix-index sorted bgzipped outputs (reference: pysam.tabix_index,
-                # call_mods_freq_bam.py:674)
-                try:
-                    from ..bamio.tabix import build_tabix_index
+            # tabix-index bgzipped outputs (reference: pysam.tabix_index,
+            # call_mods_freq_bam.py:674)
+            try:
+                from ..bamio.tabix import build_tabix_index
 
-                    build_tabix_index(path)
-                except Exception:  # noqa: BLE001
-                    LOGGER.warning("failed tabix-indexing %s", path)
+                build_tabix_index(path)
+            except Exception:  # noqa: BLE001
+                LOGGER.warning("failed tabix-indexing %s", path)
         outputs.append(path)
     LOGGER.info("[main]call_freq_bam costs %.1f seconds", time.time() - t0)
     return outputs

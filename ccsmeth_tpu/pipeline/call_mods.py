@@ -183,20 +183,41 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     write_q: "queue.Queue" = queue.Queue(maxsize=16)
     err: list[BaseException] = []
 
+    def safe_put(q, item) -> bool:
+        """Bounded put that aborts when another stage has died (no deadlock on a
+        full queue whose consumer is gone)."""
+        while not err:
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             holebatch = []
             for rec in reader:
                 holebatch.append(rec)
                 if len(holebatch) >= cfg.holes_batch:
-                    batch_q.put(holebatch)
+                    if not safe_put(batch_q, holebatch):
+                        return
                     holebatch = []
             if holebatch:
-                batch_q.put(holebatch)
+                safe_put(batch_q, holebatch)
         except BaseException as e:  # noqa: BLE001
             err.append(e)
         finally:
-            batch_q.put(None)
+            while True:
+                try:
+                    batch_q.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    if err:  # drain one slot so the sentinel always fits
+                        try:
+                            batch_q.get_nowait()
+                        except queue.Empty:
+                            pass
 
     def write():
         try:
@@ -248,13 +269,14 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         for i, rec in enumerate(holebatch):
             tagged = add_mm_ml_to_record(rec, read_preds.get(i, []), rm_pulse)
             out_items.append((rec, tagged))
-        write_q.put(out_items)
+        safe_put(write_q, out_items)
 
-    while True:
-        holebatch = batch_q.get()
+    while not err:
+        try:
+            holebatch = batch_q.get(timeout=0.5)
+        except queue.Empty:
+            continue
         if holebatch is None:
-            break
-        if err:
             break
         stats.reads_in += len(holebatch)
         meter.add("reads", len(holebatch))
@@ -289,8 +311,24 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
 
     trace_ctx.__exit__(None, None, None)
     meter.log()
+    if err:
+        # unblock a producer stuck on a full queue, then surface the error
+        while True:
+            try:
+                batch_q.get_nowait()
+            except queue.Empty:
+                break
     t_prod.join()
-    write_q.put(None)
+    while True:
+        try:
+            write_q.put(None, timeout=0.5)
+            break
+        except queue.Full:
+            if err:
+                try:
+                    write_q.get_nowait()
+                except queue.Empty:
+                    pass
     t_write.join()
     reader.close()
     if err:

@@ -110,10 +110,25 @@ def extract_hifireads_features(args) -> str:
             continue
         rows = features_to_tsv_rows(rf, cfg.is_sn, cfg.is_map)
         if rows:
-            write_q.put(rows)
+            # bounded put that cannot deadlock on a dead writer
+            while not err:
+                try:
+                    write_q.put(rows, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
         if err:
             break
-    write_q.put(None)
+    while True:
+        try:
+            write_q.put(None, timeout=0.5)
+            break
+        except queue.Full:
+            if err:
+                try:
+                    write_q.get_nowait()
+                except queue.Empty:
+                    pass
     t_w.join()
     wf.close()
     reader.close()

@@ -209,8 +209,30 @@ def train(cfg: TrainConfig) -> dict:
     rng = jax.random.PRNGKey(cfg.tseed)
     nprng = np.random.RandomState(cfg.tseed)
 
-    total_step = -(-len(train_ds) // cfg.batch_size)
+    n_proc = max(cfg.num_processes, 1)
+    if n_proc > 1:
+        # every host contributes pad_n local rows; the global batch is
+        # pad_n * n_proc, assembled per-host with make_array_from_process_local
+        # data so the jit step sees ONE global sharded array (DDP-equivalent:
+        # effective global batch = batch_size * world, train_multigpu.py:186-205)
+        total_step = len(train_ds) // (cfg.batch_size * n_proc)  # drop tail: all
+        # hosts must execute the same number of collective steps
+    else:
+        total_step = -(-len(train_ds) // cfg.batch_size)
     LOGGER.info("total_step: %d", total_step)
+    batch_sharding = shard_batch_spec(mesh)
+
+    def to_global(feats, labels, mask):
+        """Assemble per-host local rows into global sharded arrays (multi-host)."""
+        if n_proc == 1:
+            return feats, labels, mask
+
+        def g(x):
+            global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+            return jax.make_array_from_process_local_data(batch_sharding, x,
+                                                          global_shape)
+
+        return ({k: g(v) for k, v in feats.items()}, g(labels), g(mask))
     curr_best_accuracy = 0.0
     curr_best_loc = 0
     best_epoch_accs: list[float] = []
@@ -219,14 +241,31 @@ def train(cfg: TrainConfig) -> dict:
 
     def run_valid(params):
         vlosses, vl, vp = [], [], []
-        for feats, labels, n_valid in valid_ds.batches(cfg.batch_size, False, nprng,
-                                                       pad_to=pad_n):
+        n_vbatch = (len(valid_ds) // (cfg.batch_size * n_proc) if n_proc > 1
+                    else None)
+        for bi, (feats, labels, n_valid) in enumerate(valid_ds.batches(
+                cfg.batch_size, False, nprng, pad_to=pad_n,
+                shard=((cfg.process_id, n_proc) if n_proc > 1 else None),
+                drop_remainder=n_proc > 1)):
+            if n_vbatch is not None and bi >= n_vbatch:
+                break
             mask = np.zeros(pad_n, np.float32)
             mask[:n_valid] = 1.0
-            loss, pred = eval_step(params, feats, labels.astype(np.int32), mask)
+            feats, labels, mask = to_global(feats, labels.astype(np.int32), mask)
+            loss, pred = eval_step(params, feats, labels, mask)
             vlosses.append(float(loss))
-            vl.append(labels[:n_valid])
-            vp.append(np.asarray(pred)[:n_valid])
+            if n_proc == 1:
+                vl.append(np.asarray(labels)[:n_valid])
+                vp.append(np.asarray(pred)[:n_valid])
+            else:
+                # metrics on this host's own shard only (reference rank-local
+                # metrics, train_multigpu.py:390-393)
+                local_pred = np.concatenate(
+                    [np.asarray(sh.data) for sh in pred.addressable_shards])
+                local_lab = np.concatenate(
+                    [np.asarray(sh.data) for sh in labels.addressable_shards])
+                vl.append(local_lab[:n_valid])
+                vp.append(local_pred[:n_valid])
         labels_all = np.concatenate(vl) if vl else np.empty(0)
         preds_all = np.concatenate(vp) if vp else np.empty(0)
         acc, prec, rec = binary_metrics(labels_all, preds_all)
@@ -239,17 +278,20 @@ def train(cfg: TrainConfig) -> dict:
         no_best_model = True
         tlosses: list[float] = []
         start = time.time()
-        shard = ((cfg.process_id, cfg.num_processes)
-                 if cfg.num_processes > 1 else None)
+        shard = ((cfg.process_id, n_proc) if n_proc > 1 else None)
         i = -1
-        for feats, labels, n_valid in train_ds.batches(cfg.batch_size, True, nprng,
-                                                       pad_to=pad_n, shard=shard):
+        for feats, labels, n_valid in train_ds.batches(
+                cfg.batch_size, True, nprng, pad_to=pad_n, shard=shard,
+                drop_remainder=n_proc > 1):
             i += 1
+            if n_proc > 1 and i >= total_step:
+                break  # equal collective step count on every host
             mask = np.zeros(pad_n, np.float32)
             mask[:n_valid] = 1.0
+            gfeats, glabels, gmask = to_global(feats, labels.astype(np.int32), mask)
             rng, sub = jax.random.split(rng)
-            params, opt_state, loss = train_step(params, opt_state, feats,
-                                                 labels.astype(np.int32), mask, sub)
+            params, opt_state, loss = train_step(params, opt_state, gfeats,
+                                                 glabels, gmask, sub)
             tlosses.append(float(loss))
             if (i + 1) % cfg.step_interval == 0 or (i + 1) == total_step:
                 v_meanloss, v_acc, v_prec, v_rec = run_valid(params)
