@@ -198,6 +198,7 @@ def _train_cfg(args):
         lr_mode_strategy=args.lr_mode_strategy, max_epoch_num=args.max_epoch_num,
         min_epoch_num=args.min_epoch_num, pos_weight=args.pos_weight,
         step_interval=args.step_interval, init_model=args.init_model,
+        save_opt_state=args.save_opt_state, resume_from=args.resume_from,
         tseed=args.tseed,
         dist_coordinator=getattr(args, "dist_coordinator", None),
         num_processes=getattr(args, "num_processes", 1),
@@ -249,6 +250,11 @@ def _add_train_args(p):
     g.add_argument("--dl_offsets", action="store_true", default=False,
                    help="[IGNORED] data loading is vectorized in-process")
     g.add_argument("--init_model", type=str, default=None)
+    g.add_argument("--save_opt_state", action="store_true", default=False,
+                   help="persist optimizer state + epoch next to each checkpoint")
+    g.add_argument("--resume_from", type=str, default=None,
+                   help="params .ckpt.npz to resume from (restores optimizer "
+                        "state + epoch when its .train_state.npz exists)")
     g.add_argument("--tseed", type=int, default=1234)
 
 

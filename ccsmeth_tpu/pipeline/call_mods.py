@@ -183,6 +183,22 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     write_q: "queue.Queue" = queue.Queue(maxsize=16)
     err: list[BaseException] = []
 
+    # multiprocess extraction pool (threads>1): workers are jax-free
+    # (features/mp_extract.py) so spawned children never touch the TPU runtime
+    pool = None
+    n_workers = max(cfg.threads - 2, 0)
+    if n_workers > 1:
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        from ..features import mp_extract
+
+        pool = ProcessPoolExecutor(
+            max_workers=n_workers,
+            mp_context=multiprocessing.get_context("spawn"),
+            initializer=mp_extract.init_worker,
+            initargs=(motifs, ecfg, dnacontigs, holeids_e, holeids_ne, refnames))
+
     def safe_put(q, item) -> bool:
         """Bounded put that aborts when another stage has died (no deadlock on a
         full queue whose consumer is gone)."""
@@ -196,15 +212,21 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
 
     def produce():
         try:
+            from ..features import mp_extract
+
             holebatch = []
             for rec in reader:
                 holebatch.append(rec)
                 if len(holebatch) >= cfg.holes_batch:
-                    if not safe_put(batch_q, holebatch):
+                    item = (holebatch, pool.submit(mp_extract.extract_holebatch,
+                                                   holebatch) if pool else None)
+                    if not safe_put(batch_q, item):
                         return
                     holebatch = []
             if holebatch:
-                safe_put(batch_q, holebatch)
+                safe_put(batch_q, (holebatch,
+                                   pool.submit(mp_extract.extract_holebatch,
+                                               holebatch) if pool else None))
         except BaseException as e:  # noqa: BLE001
             err.append(e)
         finally:
@@ -273,25 +295,34 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
 
     while not err:
         try:
-            holebatch = batch_q.get(timeout=0.5)
+            item = batch_q.get(timeout=0.5)
         except queue.Empty:
             continue
-        if holebatch is None:
+        if item is None:
             break
+        holebatch, ext_future = item
         stats.reads_in += len(holebatch)
         meter.add("reads", len(holebatch))
         feats_per_read = []
-        for rec in holebatch:
-            refname = refnames[rec.ref_id] if rec.ref_id >= 0 else None
-            try:
-                rf = extract_read_features(rec, motifs, ecfg, dnacontigs,
-                                           holeids_e, holeids_ne, refname)
-            except Exception as e:  # noqa: BLE001  (reference counts per-read failures)
-                LOGGER.warning("%s: %s in read:%s", type(e).__name__, e, rec.qname)
-                rf = None
-            if rf is None:
-                stats.reads_failed += 1
-            feats_per_read.append(rf)
+        if ext_future is not None:
+            for rec, (rf, errstr) in zip(holebatch, ext_future.result()):
+                if errstr is not None:
+                    LOGGER.warning("%s in read:%s", errstr, rec.qname)
+                if rf is None:
+                    stats.reads_failed += 1
+                feats_per_read.append(rf)
+        else:
+            for rec in holebatch:
+                refname = refnames[rec.ref_id] if rec.ref_id >= 0 else None
+                try:
+                    rf = extract_read_features(rec, motifs, ecfg, dnacontigs,
+                                               holeids_e, holeids_ne, refname)
+                except Exception as e:  # noqa: BLE001  (reference counts per-read failures)
+                    LOGGER.warning("%s: %s in read:%s", type(e).__name__, e, rec.qname)
+                    rf = None
+                if rf is None:
+                    stats.reads_failed += 1
+                feats_per_read.append(rf)
         kept = [(i, rf) for i, rf in enumerate(feats_per_read) if rf is not None]
         batch = batch_from_reads([rf for _i, rf in kept], cfg.seq_len)
         subs = []
@@ -331,6 +362,8 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                     pass
     t_write.join()
     reader.close()
+    if pool is not None:
+        pool.shutdown(wait=False, cancel_futures=True)
     if err:
         raise err[0]
 

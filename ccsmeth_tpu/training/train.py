@@ -70,6 +70,11 @@ class TrainConfig:
     step_interval: int = 500
     init_model: str | None = None
     tseed: int = 1234
+    # full-state checkpointing (beyond the reference's warm-start-only resume,
+    # SURVEY.md §5.4): persist optimizer state + epoch next to each params ckpt
+    save_opt_state: bool = False
+    resume_from: str | None = None  # params .npz; sibling .train_state.npz restores
+    #                                 optimizer state + epoch
     # distributed (trainm parity: nodes/node_rank replaced by jax.distributed)
     dist_coordinator: str | None = None  # e.g. "10.0.0.1:1234"
     num_processes: int = 1
@@ -159,6 +164,24 @@ def make_eval_step(model_cfg, pos_weight: float, mesh=None):
                    out_shardings=(rep, batch_s)), mesh
 
 
+def save_train_state(path: str, opt_state, epoch: int) -> None:
+    """Flatten the optax state pytree to an npz (leaves only; the structure is
+    rebuilt from optimizer.init at load time, so optimizer config must match)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez_compressed(path, __epoch=np.int64(epoch),
+                        **{"leaf_{}".format(i): np.asarray(l)
+                           for i, l in enumerate(leaves)})
+
+
+def load_train_state(path: str, opt_state_template):
+    data = np.load(path)
+    epoch = int(data["__epoch"])
+    leaves = [data["leaf_{}".format(i)]
+              for i in range(len(jax.tree_util.tree_leaves(opt_state_template)))]
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    return jax.tree_util.tree_unflatten(treedef, leaves), epoch
+
+
 def binary_metrics(labels: np.ndarray, preds: np.ndarray) -> tuple[float, float, float]:
     """accuracy, precision, recall (sklearn-equivalent, positive class 1)."""
     labels = np.asarray(labels)
@@ -196,6 +219,8 @@ def train(cfg: TrainConfig) -> dict:
     train_ds = FeatureDataset.from_tsv(cfg.train_file, cfg.seq_len, single_strand)
     valid_ds = FeatureDataset.from_tsv(cfg.valid_file, cfg.seq_len, single_strand)
 
+    if cfg.resume_from:
+        cfg = dataclasses.replace(cfg, init_model=cfg.resume_from)
     params = _init_params(cfg, model_cfg)
     optimizer = build_optimizer(cfg.optim_type, cfg.lr)
     mesh = data_mesh()
@@ -204,6 +229,16 @@ def train(cfg: TrainConfig) -> dict:
     train_step, _ = make_train_step(model_cfg, optimizer, cfg.pos_weight, mesh)
     eval_step, _ = make_eval_step(model_cfg, cfg.pos_weight, mesh)
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    if cfg.resume_from:
+        state_path = cfg.resume_from.replace(".ckpt.npz", ".train_state.npz")
+        if os.path.exists(state_path):
+            opt_state, start_epoch = load_train_state(state_path, opt_state)
+            LOGGER.info("resumed optimizer state at epoch %d from %s",
+                        start_epoch, state_path)
+        else:
+            LOGGER.info("no train_state next to %s: warm-start only",
+                        cfg.resume_from)
     sched = LrSchedule(cfg.lr_scheduler, cfg.lr, cfg.lr_decay, cfg.lr_decay_step,
                        cfg.lr_patience, cfg.lr_mode_strategy)
     rng = jax.random.PRNGKey(cfg.tseed)
@@ -272,7 +307,7 @@ def train(cfg: TrainConfig) -> dict:
         return float(np.mean(vlosses)) if vlosses else 0.0, acc, prec, rec
 
     stop = False
-    for epoch in range(cfg.max_epoch_num):
+    for epoch in range(start_epoch, cfg.max_epoch_num):
         curr_best_epoch = 0.0
         accs_per_epoch: list[float] = []
         no_best_model = True
@@ -303,6 +338,10 @@ def train(cfg: TrainConfig) -> dict:
                              + ".b{}_epoch{}.ckpt.npz".format(cfg.seq_len, epoch + 1))
                         save_params(p, jax.device_get(params))
                         ckpts.append(p)
+                        if cfg.save_opt_state:
+                            save_train_state(
+                                p.replace(".ckpt.npz", ".train_state.npz"),
+                                jax.device_get(opt_state), epoch + 1)
                         if curr_best_epoch > curr_best_accuracy:
                             curr_best_accuracy = curr_best_epoch
                             curr_best_loc = epoch + 1

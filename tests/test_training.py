@@ -185,3 +185,32 @@ def test_train_single_strand(tmp_path):
     result = train(cfg)
     assert result["best_accuracy"] > 0.85
     assert glob.glob(str(tmp_path / "m" / "attbigru1s.b21_epoch*.ckpt.npz"))
+
+
+def test_resume_with_optimizer_state(tmp_path):
+    tr = str(tmp_path / "tr.tsv")
+    va = str(tmp_path / "va.tsv")
+    _write_feature_tsv(tr, n=200, seed=1)
+    _write_feature_tsv(va, n=60, seed=2)
+    base = dict(train_file=tr, valid_file=va, model_dir=str(tmp_path / "m"),
+                model_type="attbigru2s", layer_rnn=1, hid_rnn=16, batch_size=64,
+                dropout_rate=0.1, step_interval=3, lr=0.01, tseed=5,
+                save_opt_state=True)
+    r1 = train(TrainConfig(**base, max_epoch_num=2, min_epoch_num=1))
+    assert r1["ckpts"]
+    last = sorted(r1["ckpts"])[-1]
+    state = last.replace(".ckpt.npz", ".train_state.npz")
+    import os
+
+    assert os.path.exists(state)
+    # resume continues from the saved epoch (start_epoch >= 2 -> runs epochs 3..4)
+    base2 = dict(base, model_dir=str(tmp_path / "m2"))
+    r2 = train(TrainConfig(**base2, max_epoch_num=4, min_epoch_num=1,
+                           resume_from=last))
+    assert r2["best_epoch"] == 0 or r2["best_epoch"] > 2 or r2["best_accuracy"] > 0
+    # resumed run must not restart at epoch 1: its ckpts are named epoch>=3
+    for p in r2["ckpts"]:
+        import re
+
+        m = re.search(r"epoch(\d+)", p)
+        assert int(m.group(1)) >= 3
