@@ -327,8 +327,12 @@ def train(cfg: TrainConfig) -> dict:
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(params, opt_state, gfeats,
                                                  glabels, gmask, sub)
-            tlosses.append(float(loss))
+            # keep losses on device; fetch only at logging boundaries (a float()
+            # per step is a host sync per step — expensive on remote runtimes)
+            tlosses.append(loss)
             if (i + 1) % cfg.step_interval == 0 or (i + 1) == total_step:
+                tloss_mean = (float(jnp.mean(jnp.stack(tlosses)))
+                              if tlosses else 0.0)
                 v_meanloss, v_acc, v_prec, v_rec = run_valid(params)
                 accs_per_epoch.append(v_acc)
                 if v_acc > curr_best_epoch:
@@ -360,7 +364,7 @@ def train(cfg: TrainConfig) -> dict:
                     "ValidLoss: %.4f, Acc: %.4f, Prec: %.4f, Reca: %.4f, "
                     "CurrE_best_acc: %.4f, Best_acc: %.4f; Time: %.2fs",
                     epoch + 1, cfg.max_epoch_num, i + 1, total_step, sched.lr,
-                    float(np.mean(tlosses)), v_meanloss, v_acc, v_prec, v_rec,
+                    tloss_mean, v_meanloss, v_acc, v_prec, v_rec,
                     curr_best_epoch, curr_best_accuracy, time.time() - start)
                 tlosses = []
                 start = time.time()
