@@ -30,7 +30,8 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None):
+def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
+                    transfer_dtype=np.float32):
     """Build a jitted data-parallel predict step: feats dict -> softmax probs (B, C).
 
     Works on one device (trivial mesh) or many; batch dim must divide the mesh size
@@ -87,8 +88,9 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None):
             out["kmer" + s] = np.asarray(feats["kmer" + s], np.int8)
             kp = np.asarray(feats["kpass" + s])
             out["kpass" + s] = (kp[:, 0] if kp.ndim == 2 else kp).astype(np.float32)
-            out["ipd_means" + s] = np.asarray(feats["ipd_means" + s], np.float32)
-            out["pw_means" + s] = np.asarray(feats["pw_means" + s], np.float32)
+            out["ipd_means" + s] = np.asarray(feats["ipd_means" + s],
+                                              transfer_dtype)
+            out["pw_means" + s] = np.asarray(feats["pw_means" + s], transfer_dtype)
             if need_stds:
                 out["ipd_stds" + s] = opt("ipd_stds" + s, (B, L))
                 out["pw_stds" + s] = opt("pw_stds" + s, (B, L))

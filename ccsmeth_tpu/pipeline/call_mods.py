@@ -159,7 +159,12 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     out_modbam = output_prefix + ".modbam.bam"
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
-    predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg)
+    import ml_dtypes
+
+    transfer_dtype = (np.dtype(ml_dtypes.bfloat16) if cfg.precision == "bf16"
+                      else np.float32)
+    predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision),
+                              params, model_cfg, transfer_dtype=transfer_dtype)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
 
