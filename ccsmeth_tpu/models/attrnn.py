@@ -234,12 +234,23 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
     both = jnp.concatenate([out1_in, out2_in], axis=0)
     nl2 = cfg.num_layers * 2
     if rnn_backend == "pallas":
-        if cfg.rnn_cell != "gru" or train or h0 is not None or h0_2 is not None:
-            raise ValueError("pallas backend: GRU inference with zero h0 only")
-        from ..ops.bigru_pallas import birnn_apply_pallas
+        if cfg.rnn_cell != "gru" or h0 is not None or h0_2 is not None:
+            raise ValueError("pallas backend: GRU with zero h0 only")
+        if train:
+            # differentiable fused kernels (custom VJP) + inter-layer dropout
+            from ..ops.bigru_pallas_vjp import birnn_apply_pallas_trainable
 
-        outs, h_n = birnn_apply_pallas(params["rnn"], both,
-                                       compute_dtype=compute_dtype)
+            rnn_rng = None
+            if dropout_rng is not None:
+                dropout_rng, rnn_rng = jax.random.split(dropout_rng)
+            outs, h_n = birnn_apply_pallas_trainable(
+                params["rnn"], both, compute_dtype=compute_dtype,
+                dropout_rate=cfg.dropout_rate, dropout_rng=rnn_rng)
+        else:
+            from ..ops.bigru_pallas import birnn_apply_pallas
+
+            outs, h_n = birnn_apply_pallas(params["rnn"], both,
+                                           compute_dtype=compute_dtype)
         out1, out2 = outs[:B], outs[B:]
         h_n1, h_n2 = h_n[:, :B], h_n[:, B:]
         return _attrnn_head(params, cfg, out1, out2, h_n1, h_n2, dropout_rng, train)

@@ -75,6 +75,9 @@ class TrainConfig:
     save_opt_state: bool = False
     resume_from: str | None = None  # params .npz; sibling .train_state.npz restores
     #                                 optimizer state + epoch
+    # 'pallas' trains through the fused kernels + custom VJP (GRU, zero h0)
+    rnn_backend: str = "xla"
+    precision: str = "fp32"  # fp32 | bf16 (pallas matmul operand dtype)
     # distributed (trainm parity: nodes/node_rank replaced by jax.distributed)
     dist_coordinator: str | None = None  # e.g. "10.0.0.1:1234"
     num_processes: int = 1
@@ -95,13 +98,21 @@ class TrainConfig:
             is_map=self.is_map, is_stds=self.is_stds, model_type=self.model_type)
 
 
-def _apply_fn(model_cfg):
+def _apply_fn(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
     if isinstance(model_cfg, TransEncConfig):
         return apply_transenc
     if not model_cfg.two_strand:
         from ..models import apply_attrnn_ss
 
         return apply_attrnn_ss
+    if rnn_backend == "pallas":
+        dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+        def apply_pallas(params, cfg, feats, **kw):
+            return apply_attrnn(params, cfg, feats, rnn_backend="pallas",
+                                compute_dtype=dtype, **kw)
+
+        return apply_pallas
     return apply_attrnn
 
 
@@ -116,14 +127,15 @@ def _init_params(cfg: TrainConfig, model_cfg):
     return init_attrnn(cfg.tseed, model_cfg)
 
 
-def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None):
+def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
+                    rnn_backend: str = "xla", precision: str = "fp32"):
     """Build the jitted sharded train step: (params, opt_state, feats, labels,
     valid_mask, rng) -> (params, opt_state, loss)."""
     if mesh is None:
         mesh = data_mesh()
     batch_s = shard_batch_spec(mesh)
     rep = replicated_spec(mesh)
-    apply_ = _apply_fn(model_cfg)
+    apply_ = _apply_fn(model_cfg, rnn_backend, precision)
     class_weights = jnp.array([1.0, pos_weight], jnp.float32)
 
     def loss_fn(params, feats, labels, mask, rng):
@@ -226,7 +238,8 @@ def train(cfg: TrainConfig) -> dict:
     mesh = data_mesh()
     n_dev = mesh.devices.size
     pad_n = -(-cfg.batch_size // n_dev) * n_dev
-    train_step, _ = make_train_step(model_cfg, optimizer, cfg.pos_weight, mesh)
+    train_step, _ = make_train_step(model_cfg, optimizer, cfg.pos_weight, mesh,
+                                    cfg.rnn_backend, cfg.precision)
     eval_step, _ = make_eval_step(model_cfg, cfg.pos_weight, mesh)
     opt_state = optimizer.init(params)
     start_epoch = 0
