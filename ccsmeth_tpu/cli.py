@@ -199,6 +199,7 @@ def _train_cfg(args):
         min_epoch_num=args.min_epoch_num, pos_weight=args.pos_weight,
         step_interval=args.step_interval, init_model=args.init_model,
         save_opt_state=args.save_opt_state, resume_from=args.resume_from,
+        rnn_backend=args.rnn_backend, precision=args.precision,
         tseed=args.tseed,
         dist_coordinator=getattr(args, "dist_coordinator", None),
         num_processes=getattr(args, "num_processes", 1),
@@ -250,6 +251,12 @@ def _add_train_args(p):
     g.add_argument("--dl_offsets", action="store_true", default=False,
                    help="[IGNORED] data loading is vectorized in-process")
     g.add_argument("--init_model", type=str, default=None)
+    g.add_argument("--rnn_backend", type=str, default="xla",
+                   choices=["xla", "pallas"],
+                   help="BiGRU backend: xla scan or fused Pallas kernels with "
+                        "custom VJP (GRU models), default xla")
+    g.add_argument("--precision", type=str, default="fp32",
+                   choices=["fp32", "bf16"])
     g.add_argument("--save_opt_state", action="store_true", default=False,
                    help="persist optimizer state + epoch next to each checkpoint")
     g.add_argument("--resume_from", type=str, default=None,

@@ -192,7 +192,15 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     # (features/mp_extract.py) so spawned children never touch the TPU runtime
     pool = None
     n_workers = max(cfg.threads - 2, 0)
-    if n_workers > 1:
+    main_mod = sys.modules.get("__main__")
+    _main_file = getattr(main_mod, "__file__", None)
+    main_importable = bool(getattr(main_mod, "__spec__", None)
+                           or (_main_file and os.path.exists(_main_file)))
+    if n_workers > 1 and not main_importable:
+        # spawn re-imports __main__ in workers; a REPL/heredoc main would hang
+        LOGGER.info("extraction pool disabled: __main__ is not importable "
+                    "(interactive session?)")
+    elif n_workers > 1:
         import multiprocessing
         from concurrent.futures import ProcessPoolExecutor
 

@@ -36,8 +36,9 @@ def read_methylbed(bed_file, contig_prefix, contig_names, cov_cf):
 
 def read_freqtxt(path, contig_prefix, contig_names, cov_cf):
     with open(path) as rf:
-        ncols = len(rf.readline().strip().split("\t"))
-    if ncols == 11:
+        fields = rf.readline().strip().split("\t")
+    # bedMethyl also has 11 columns; its col9 is the RGB placeholder "0,0,0"
+    if len(fields) == 11 and fields[8] != "0,0,0":
         names = ["chromosome", "pos", "end", "strand", "prob0", "prob1", "met",
                  "unmet", "coverage", "Rmet", "kmer"]
         df = pd.read_csv(path, sep="\t", header=None, names=names,
