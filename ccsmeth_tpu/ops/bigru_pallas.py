@@ -34,8 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fused_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
-                  outf_ref, outb_ref, hf_ref, hb_ref, *, H: int, compute_dtype):
-    """One (batch_tile, timestep) cell; sees x[t] (fwd) and x[L-1-t] (bwd)."""
+                  outf_ref, outb_ref, hf_ref, hb_ref, *, H: int, T: int,
+                  compute_dtype):
+    """One (batch_tile, time-block) cell handling T consecutive timesteps.
+
+    The T input projections batch into ONE (T*B_TILE, C) MXU matmul up front;
+    only the T recurrent (B_TILE, H) matmuls stay sequential — amortizing the
+    per-cell grid/DMA overhead that dominates small-C layers.
+
+    xf_ref: (T, B_TILE, C) timesteps tb*T..tb*T+T-1; xb_ref: the mirrored block
+    (elements within it are consumed reversed so the bwd direction walks its own
+    tau order)."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -43,9 +52,19 @@ def _fused_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
         hf_ref[...] = jnp.zeros_like(hf_ref)
         hb_ref[...] = jnp.zeros_like(hb_ref)
 
-    def cell(x_t, h, wih, bih, whh, bhh):
-        xg = jnp.dot(x_t.astype(compute_dtype), wih.astype(compute_dtype),
+    Bt = xf_ref.shape[1]
+    C = xf_ref.shape[2]
+
+    def gates_for(x_blk, wih, bih):
+        xg = jnp.dot(x_blk.reshape(T * Bt, C).astype(compute_dtype),
+                     wih.astype(compute_dtype),
                      preferred_element_type=jnp.float32) + bih
+        return xg.reshape(T, Bt, 3 * H)
+
+    xg_f = gates_for(xf_ref[...], wih_ref[0], bih_ref[0].astype(jnp.float32))
+    xg_b = gates_for(xb_ref[...], wih_ref[1], bih_ref[1].astype(jnp.float32))
+
+    def cell(xg, h, whh, bhh):
         hg = jnp.dot(h.astype(compute_dtype), whh.astype(compute_dtype),
                      preferred_element_type=jnp.float32) + bhh
         r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
@@ -53,35 +72,44 @@ def _fused_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
         n = jnp.tanh(xg[:, 2 * H :] + r * hg[:, 2 * H :])
         return (1.0 - z) * n + z * h
 
-    h_f = cell(xf_ref[0], hf_ref[...], wih_ref[0], bih_ref[0].astype(jnp.float32),
-               whh_ref[0], bhh_ref[0].astype(jnp.float32))
-    h_b = cell(xb_ref[0], hb_ref[...], wih_ref[1], bih_ref[1].astype(jnp.float32),
-               whh_ref[1], bhh_ref[1].astype(jnp.float32))
+    h_f = hf_ref[...]
+    h_b = hb_ref[...]
+    bhh_f = bhh_ref[0].astype(jnp.float32)
+    bhh_b = bhh_ref[1].astype(jnp.float32)
+    for j in range(T):
+        h_f = cell(xg_f[j], h_f, whh_ref[0], bhh_f)
+        # bwd tau = t*T + j corresponds to the mirrored block's element T-1-j
+        h_b = cell(xg_b[T - 1 - j], h_b, whh_ref[1], bhh_b)
+        outf_ref[j] = h_f.astype(outf_ref.dtype)
+        outb_ref[j] = h_b.astype(outb_ref.dtype)
     hf_ref[...] = h_f
     hb_ref[...] = h_b
-    outf_ref[0] = h_f.astype(outf_ref.dtype)
-    outb_ref[0] = h_b.astype(outb_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("b_tile", "compute_dtype", "interpret"))
-def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret):
+                   static_argnames=("b_tile", "compute_dtype", "interpret",
+                                    "t_block"))
+def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret,
+                      t_block=1):
     """x_tm: (L, B, C) time-major -> (out_f (L, B, H), out_b reversed-time)."""
     L, B, C = x_tm.shape
     H = whh.shape[-1] // 3
+    T = t_block if (t_block > 0 and L % t_block == 0) else 1
+    nT = L // T
     if B % b_tile != 0:
         pad = b_tile - B % b_tile
         x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = x_tm.shape[1]
     out_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
-    kernel = functools.partial(_fused_kernel, H=H, compute_dtype=compute_dtype)
+    kernel = functools.partial(_fused_kernel, H=H, T=T,
+                               compute_dtype=compute_dtype)
     out_f, out_b = pl.pallas_call(
         kernel,
-        grid=(Bp // b_tile, L),
+        grid=(Bp // b_tile, nT),
         in_specs=[
-            pl.BlockSpec((1, b_tile, C), lambda i, t: (t, i, 0),
+            pl.BlockSpec((T, b_tile, C), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, C), lambda i, t, L=L: (L - 1 - t, i, 0),
+            pl.BlockSpec((T, b_tile, C), lambda i, t, nT=nT: (nT - 1 - t, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, C, 3 * H), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -91,9 +119,9 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
             pl.BlockSpec((2, 3 * H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, b_tile, H), lambda i, t: (t, i, 0),
+            pl.BlockSpec((T, b_tile, H), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile, H), lambda i, t: (t, i, 0),
+            pl.BlockSpec((T, b_tile, H), lambda i, t: (t, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -137,7 +165,8 @@ def _layer_weights(layer: dict):
 
 def bigru_layer_pallas(layer: dict, x: jnp.ndarray, b_tile: int | None = None,
                        compute_dtype=jnp.float32,
-                       interpret: bool | None = None) -> jnp.ndarray:
+                       interpret: bool | None = None,
+                       t_block: int = 1) -> jnp.ndarray:
     """One bidirectional GRU layer, zero h0. x: (B, L, C) -> (B, L, 2H) f32.
 
     Batch-major convenience wrapper; multi-layer callers should use
@@ -153,14 +182,14 @@ def bigru_layer_pallas(layer: dict, x: jnp.ndarray, b_tile: int | None = None,
     if compute_dtype == jnp.bfloat16:
         x_tm = x_tm.astype(jnp.bfloat16)
     out_f, out_b = _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile,
-                                     compute_dtype, interpret)
+                                     compute_dtype, interpret, t_block)
     out = jnp.concatenate([out_f, jnp.flip(out_b, axis=0)], axis=-1)
     return jnp.transpose(out, (1, 0, 2)).astype(jnp.float32)
 
 
 def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
                        compute_dtype=jnp.float32, b_tile: int | None = None,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None, t_block: int = 1):
     """Multi-layer BiGRU on the fused kernel; returns (outputs (B, L, 2H) f32,
     h_n in torch layout).
 
@@ -181,7 +210,7 @@ def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
     for ld in layers:
         wih, bih, whh, bhh = _layer_weights(ld)
         out_f, out_b = _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile,
-                                         compute_dtype, interpret)
+                                         compute_dtype, interpret, t_block)
         x_tm = jnp.concatenate([out_f, jnp.flip(out_b, axis=0)], axis=-1)
         h_ns.append(jnp.stack([out_f[-1], out_b[-1]], axis=0).astype(jnp.float32))
     out = jnp.transpose(x_tm, (1, 0, 2)).astype(jnp.float32)
