@@ -222,8 +222,8 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
     with suffix '2' for the reverse strand. h0/h0_2: optional (num_layers*2, B, H).
 
     rnn_backend='pallas' routes the recurrence through the fused VMEM-resident TPU
-    kernel (ops/bigru_pallas.py) — inference fast path, GRU only, zero h0, no
-    inter-layer dropout.
+    kernel (ops/bigru_pallas.py) — inference fast path (GRU or LSTM, zero h0, no
+    inter-layer dropout); training path is GRU via the custom-VJP kernels.
     """
     H = cfg.hidden_size
     B = feats["kmer"].shape[0]
@@ -234,9 +234,11 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
     both = jnp.concatenate([out1_in, out2_in], axis=0)
     nl2 = cfg.num_layers * 2
     if rnn_backend == "pallas":
-        if cfg.rnn_cell != "gru" or h0 is not None or h0_2 is not None:
-            raise ValueError("pallas backend: GRU with zero h0 only")
+        if cfg.rnn_cell not in ("gru", "lstm") or h0 is not None or h0_2 is not None:
+            raise ValueError("pallas backend: gru/lstm with zero h0 only")
         if train:
+            if cfg.rnn_cell != "gru":
+                raise ValueError("pallas training backend: GRU only")
             # differentiable fused kernels (custom VJP) + inter-layer dropout
             from ..ops.bigru_pallas_vjp import birnn_apply_pallas_trainable
 
@@ -250,7 +252,8 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
             from ..ops.bigru_pallas import birnn_apply_pallas
 
             outs, h_n = birnn_apply_pallas(params["rnn"], both,
-                                           compute_dtype=compute_dtype)
+                                           compute_dtype=compute_dtype,
+                                           cell=cfg.rnn_cell)
         out1, out2 = outs[:B], outs[B:]
         h_n1, h_n2 = h_n[:, :B], h_n[:, B:]
         return _attrnn_head(params, cfg, out1, out2, h_n1, h_n2, dropout_rng, train)

@@ -33,6 +33,57 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _fused_lstm_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
+                       outf_ref, outb_ref, hf_ref, hb_ref, cf_ref, cb_ref,
+                       *, H: int, T: int, compute_dtype):
+    """LSTM variant of the fused cell (torch gate order i,f,g,o; carries h AND c
+    in VMEM scratch). Zero h0/c0; inference path."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        hf_ref[...] = jnp.zeros_like(hf_ref)
+        hb_ref[...] = jnp.zeros_like(hb_ref)
+        cf_ref[...] = jnp.zeros_like(cf_ref)
+        cb_ref[...] = jnp.zeros_like(cb_ref)
+
+    Bt = xf_ref.shape[1]
+    C = xf_ref.shape[2]
+
+    def gates_for(x_blk, wih, bih):
+        xg = jnp.dot(x_blk.reshape(T * Bt, C).astype(compute_dtype),
+                     wih.astype(compute_dtype),
+                     preferred_element_type=jnp.float32) + bih
+        return xg.reshape(T, Bt, 4 * H)
+
+    xg_f = gates_for(xf_ref[...], wih_ref[0], bih_ref[0].astype(jnp.float32))
+    xg_b = gates_for(xb_ref[...], wih_ref[1], bih_ref[1].astype(jnp.float32))
+
+    def cell(xg, h, c, whh, bhh):
+        g = xg + jnp.dot(h.astype(compute_dtype), whh.astype(compute_dtype),
+                         preferred_element_type=jnp.float32) + bhh
+        i = jax.nn.sigmoid(g[:, :H])
+        f = jax.nn.sigmoid(g[:, H : 2 * H])
+        gg = jnp.tanh(g[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(g[:, 3 * H :])
+        c_new = f * c + i * gg
+        return o * jnp.tanh(c_new), c_new
+
+    h_f, c_f = hf_ref[...], cf_ref[...]
+    h_b, c_b = hb_ref[...], cb_ref[...]
+    bhh_f = bhh_ref[0].astype(jnp.float32)
+    bhh_b = bhh_ref[1].astype(jnp.float32)
+    for j in range(T):
+        h_f, c_f = cell(xg_f[j], h_f, c_f, whh_ref[0], bhh_f)
+        h_b, c_b = cell(xg_b[T - 1 - j], h_b, c_b, whh_ref[1], bhh_b)
+        outf_ref[j] = h_f.astype(outf_ref.dtype)
+        outb_ref[j] = h_b.astype(outb_ref.dtype)
+    hf_ref[...] = h_f
+    hb_ref[...] = h_b
+    cf_ref[...] = c_f
+    cb_ref[...] = c_b
+
+
 def _fused_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
                   outf_ref, outb_ref, hf_ref, hb_ref, *, H: int, T: int,
                   compute_dtype):
@@ -88,12 +139,13 @@ def _fused_kernel(xf_ref, xb_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("b_tile", "compute_dtype", "interpret",
-                                    "t_block"))
+                                    "t_block", "cell"))
 def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret,
-                      t_block=1):
+                      t_block=1, cell="gru"):
     """x_tm: (L, B, C) time-major -> (out_f (L, B, H), out_b reversed-time)."""
     L, B, C = x_tm.shape
-    H = whh.shape[-1] // 3
+    n_gates = 4 if cell == "lstm" else 3
+    H = whh.shape[-1] // n_gates
     T = t_block if (t_block > 0 and L % t_block == 0) else 1
     nT = L // T
     if B % b_tile != 0:
@@ -101,8 +153,15 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
         x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = x_tm.shape[1]
     out_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
-    kernel = functools.partial(_fused_kernel, H=H, T=T,
-                               compute_dtype=compute_dtype)
+    G = n_gates * H
+    if cell == "lstm":
+        kernel = functools.partial(_fused_lstm_kernel, H=H, T=T,
+                                   compute_dtype=compute_dtype)
+        scratch = [pltpu.VMEM((b_tile, H), jnp.float32) for _ in range(4)]
+    else:
+        kernel = functools.partial(_fused_kernel, H=H, T=T,
+                                   compute_dtype=compute_dtype)
+        scratch = [pltpu.VMEM((b_tile, H), jnp.float32) for _ in range(2)]
     out_f, out_b = pl.pallas_call(
         kernel,
         grid=(Bp // b_tile, nT),
@@ -111,12 +170,12 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, b_tile, C), lambda i, t, nT=nT: (nT - 1 - t, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, C, 3 * H), lambda i, t: (0, 0, 0),
+            pl.BlockSpec((2, C, G), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3 * H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, H, 3 * H), lambda i, t: (0, 0, 0),
+            pl.BlockSpec((2, G), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, G), lambda i, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3 * H), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, G), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((T, b_tile, H), lambda i, t: (t, i, 0),
@@ -128,10 +187,7 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
             jax.ShapeDtypeStruct((L, Bp, H), out_dtype),
             jax.ShapeDtypeStruct((L, Bp, H), out_dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((b_tile, H), jnp.float32),
-            pltpu.VMEM((b_tile, H), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(x_tm, x_tm, wih, bih, whh, bhh)
     return out_f[:, :B], out_b[:, :B]
@@ -189,7 +245,8 @@ def bigru_layer_pallas(layer: dict, x: jnp.ndarray, b_tile: int | None = None,
 
 def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
                        compute_dtype=jnp.float32, b_tile: int | None = None,
-                       interpret: bool | None = None, t_block: int = 1):
+                       interpret: bool | None = None, t_block: int = 1,
+                       cell: str = "gru"):
     """Multi-layer BiGRU on the fused kernel; returns (outputs (B, L, 2H) f32,
     h_n in torch layout).
 
@@ -210,7 +267,7 @@ def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
     for ld in layers:
         wih, bih, whh, bhh = _layer_weights(ld)
         out_f, out_b = _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile,
-                                         compute_dtype, interpret, t_block)
+                                         compute_dtype, interpret, t_block, cell)
         x_tm = jnp.concatenate([out_f, jnp.flip(out_b, axis=0)], axis=-1)
         h_ns.append(jnp.stack([out_f[-1], out_b[-1]], axis=0).astype(jnp.float32))
     out = jnp.transpose(x_tm, (1, 0, 2)).astype(jnp.float32)

@@ -71,14 +71,56 @@ def test_full_model_pallas_backend_matches_xla():
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x), atol=5e-6)
 
 
-def test_pallas_backend_rejects_lstm_and_train():
+def test_lstm_multilayer_matches_scan():
+    rng = np.random.RandomState(5)
+    B, L, C, H, NL = 8, 21, 11, 16, 2
+    layers = init_rnn_params(rng, C, H, NL, "lstm")
+    x = rng.randn(B, L, C).astype(np.float32)
+    h0 = jnp.zeros((NL * 2, B, H), jnp.float32)
+    c0 = jnp.zeros((NL * 2, B, H), jnp.float32)
+    ref_out, ref_hn = birnn_apply(layers, jnp.asarray(x), h0, c0, "lstm")
+    pall_out, pall_hn = birnn_apply_pallas(layers, jnp.asarray(x), interpret=True,
+                                           b_tile=8, cell="lstm")
+    np.testing.assert_allclose(np.asarray(pall_out), np.asarray(ref_out), atol=3e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pall_hn), np.asarray(ref_hn), atol=3e-5,
+                               rtol=1e-5)
+
+
+def _lstm_feats(rng, B=12, L=21):
+    feats = {}
+    for s in ("", "2"):
+        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+        feats["kpass" + s] = np.full((B, L), 5.0, np.float32)
+        feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["ipd_stds" + s] = np.zeros((B, L), np.float32)
+        feats["pw_stds" + s] = np.zeros((B, L), np.float32)
+        feats["sns" + s] = np.zeros((B, 4), np.float32)
+        feats["maps" + s] = np.zeros((B, L), np.float32)
+    return feats
+
+
+def test_full_lstm_model_pallas_backend_matches_xla():
+    cfg = AttRNNConfig(num_layers=2, hidden_size=32, dropout_rate=0,
+                       model_type="attbilstm2s")
+    params = init_attrnn(6, cfg)
+    rng = np.random.RandomState(7)
+    feats = _lstm_feats(rng)
+    l_x, p_x = apply_attrnn(params, cfg, feats)
+    l_p, p_p = apply_attrnn(params, cfg, feats, rnn_backend="pallas")
+    np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x), atol=5e-6)
+
+
+def test_pallas_backend_rejects_lstm_train_and_h0():
     cfg = AttRNNConfig(num_layers=1, hidden_size=16, dropout_rate=0,
                        model_type="attbilstm2s")
     params = init_attrnn(0, cfg)
-    feats = {k + s: np.zeros((2, 21), np.float32) for s in ("", "2")
-             for k in ("kmer", "kpass", "ipd_means", "pw_means", "ipd_stds",
-                       "pw_stds", "maps")}
-    for s in ("", "2"):
-        feats["sns" + s] = np.zeros((2, 4), np.float32)
+    rng = np.random.RandomState(8)
+    feats = _lstm_feats(rng, B=2)
     with pytest.raises(ValueError):
-        apply_attrnn(params, cfg, feats, rnn_backend="pallas")
+        apply_attrnn(params, cfg, feats, rnn_backend="pallas", train=True)
+    h0 = jnp.zeros((2, 2, 16), jnp.float32)
+    with pytest.raises(ValueError):
+        apply_attrnn(params, cfg, feats, rnn_backend="pallas", h0=h0)
