@@ -249,11 +249,13 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
                 params["rnn"], both, compute_dtype=compute_dtype,
                 dropout_rate=cfg.dropout_rate, dropout_rng=rnn_rng)
         else:
-            from ..ops.bigru_pallas import birnn_apply_pallas
+            # whole-network fused kernel: all layers in one pallas_call (the
+            # per-layer kernel birnn_apply_pallas remains as the VJP base)
+            from ..ops.bigru_pallas import birnn_apply_pallas_stacked
 
-            outs, h_n = birnn_apply_pallas(params["rnn"], both,
-                                           compute_dtype=compute_dtype,
-                                           cell=cfg.rnn_cell)
+            outs, h_n = birnn_apply_pallas_stacked(params["rnn"], both,
+                                                   compute_dtype=compute_dtype,
+                                                   cell=cfg.rnn_cell)
         out1, out2 = outs[:B], outs[B:]
         h_n1, h_n2 = h_n[:, :B], h_n[:, B:]
         return _attrnn_head(params, cfg, out1, out2, h_n1, h_n2, dropout_rng, train)

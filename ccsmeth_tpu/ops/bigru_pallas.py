@@ -193,6 +193,139 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
     return out_f[:, :B], out_b[:, :B]
 
 
+def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype):
+    """Build a whole-network kernel: all NL bidirectional layers over the full
+    L-step sequence for one batch tile, entirely in VMEM.
+
+    Compared with the per-layer kernel (grid (batch_tiles, L)), this removes the
+    inter-layer HBM round trips for the (L, B, 2H) activations and collapses
+    3*L*batch_tiles grid steps into batch_tiles — per-step overhead amortizes
+    over 2*NL*L cells. Feasible because call_mods sequences are tiny (L=21,
+    SURVEY.md §2.4): the whole activation stack for a 256-row batch tile fits in
+    VMEM with room for the f32 gate projections.
+    """
+    n_gates = 4 if cell == "lstm" else 3
+    G = n_gates * H
+
+    def kernel(x_ref, *refs):
+        out_ref, hn_ref = refs[NL * 4], refs[NL * 4 + 1]
+        x = x_ref[...].astype(compute_dtype)  # (L, Bt, C)
+        Bt = x.shape[1]
+
+        # gate math stays f32 regardless of compute_dtype (matmuls accumulate
+        # f32 anyway; a bf16-activation variant measured SLOWER — the extra
+        # casts cost more than the narrower transcendental ops save)
+        def gru_cell(xg, hg, h, c):
+            r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
+            z = jax.nn.sigmoid(xg[:, H : 2 * H] + hg[:, H : 2 * H])
+            n = jnp.tanh(xg[:, 2 * H :] + r * hg[:, 2 * H :])
+            return (1.0 - z) * n + z * h, c
+
+        def lstm_cell(xg, hg, h, c):
+            g = xg + hg
+            i = jax.nn.sigmoid(g[:, :H])
+            f = jax.nn.sigmoid(g[:, H : 2 * H])
+            gg = jnp.tanh(g[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(g[:, 3 * H :])
+            c_new = f * c + i * gg
+            return o * jnp.tanh(c_new), c_new
+
+        cell_fn = lstm_cell if cell == "lstm" else gru_cell
+
+        for l in range(NL):
+            wih, bih, whh, bhh = refs[4 * l : 4 * l + 4]
+            C = x.shape[2]
+            flat = x.reshape(L * Bt, C)
+            xg_f = (jnp.dot(flat, wih[0].astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+                    + bih[0].astype(jnp.float32)).reshape(L, Bt, G)
+            xg_b = (jnp.dot(flat, wih[1].astype(compute_dtype),
+                            preferred_element_type=jnp.float32)
+                    + bih[1].astype(jnp.float32)).reshape(L, Bt, G)
+            bhh_f = bhh[0].astype(jnp.float32)
+            bhh_b = bhh[1].astype(jnp.float32)
+            h_f = jnp.zeros((Bt, H), jnp.float32)
+            h_b = jnp.zeros((Bt, H), jnp.float32)
+            c_f = jnp.zeros((Bt, H), jnp.float32)
+            c_b = jnp.zeros((Bt, H), jnp.float32)
+            outs_f, outs_b = [], []
+            for j in range(L):
+                hg_f = jnp.dot(h_f.astype(compute_dtype),
+                               whh[0].astype(compute_dtype),
+                               preferred_element_type=jnp.float32) + bhh_f
+                h_f, c_f = cell_fn(xg_f[j], hg_f, h_f, c_f)
+                hg_b = jnp.dot(h_b.astype(compute_dtype),
+                               whh[1].astype(compute_dtype),
+                               preferred_element_type=jnp.float32) + bhh_b
+                h_b, c_b = cell_fn(xg_b[L - 1 - j], hg_b, h_b, c_b)
+                outs_f.append(h_f)
+                outs_b.append(h_b)
+            hn_ref[2 * l] = h_f.astype(hn_ref.dtype)
+            hn_ref[2 * l + 1] = h_b.astype(hn_ref.dtype)
+            # outs_b[tau] is the state after consuming timestep L-1-tau; the
+            # time-t slice of the layer output pairs outs_f[t] with outs_b[L-1-t]
+            x = jnp.stack([
+                jnp.concatenate([outs_f[t], outs_b[L - 1 - t]], axis=-1)
+                for t in range(L)
+            ]).astype(compute_dtype)
+        out_ref[...] = x.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_layers", "b_tile", "compute_dtype",
+                                    "interpret", "cell"))
+def _fused_stack_call(x_tm, flat_weights, n_layers, b_tile, compute_dtype,
+                      interpret, cell="gru"):
+    """x_tm: (L, B, C) -> (out (L, B, 2H) out_dtype, h_n (2*NL, B, H) f32)."""
+    L, B, C = x_tm.shape
+    NL = n_layers
+    n_gates = 4 if cell == "lstm" else 3
+    H = flat_weights[2].shape[-1] // n_gates  # whh of layer 0
+    if B % b_tile != 0:
+        pad = b_tile - B % b_tile
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
+    Bp = x_tm.shape[1]
+    out_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+    kernel = _make_stack_kernel(NL, L, H, cell, compute_dtype)
+    w_specs = []
+    for li in range(NL):
+        Cl = C if li == 0 else 2 * H
+        w_specs += [
+            pl.BlockSpec((2, Cl, n_gates * H), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_gates * H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, n_gates * H), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n_gates * H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    out, hn = pl.pallas_call(
+        kernel,
+        grid=(Bp // b_tile,),
+        in_specs=[pl.BlockSpec((L, b_tile, C), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)] + w_specs,
+        out_specs=(
+            pl.BlockSpec((L, b_tile, 2 * H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * NL, b_tile, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, Bp, 2 * H), out_dtype),
+            jax.ShapeDtypeStruct((2 * NL, Bp, H), jnp.float32),
+        ),
+        # the whole-stack working set (both directions' f32 gate projections +
+        # the layer activations) exceeds the 16MB default scoped-vmem budget
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_tm, *flat_weights)
+    return out[:, :B], hn[:, :B]
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -272,3 +405,30 @@ def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
         h_ns.append(jnp.stack([out_f[-1], out_b[-1]], axis=0).astype(jnp.float32))
     out = jnp.transpose(x_tm, (1, 0, 2)).astype(jnp.float32)
     return out, jnp.concatenate(h_ns, axis=0)
+
+
+def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
+                               compute_dtype=jnp.float32,
+                               b_tile: int | None = None,
+                               interpret: bool | None = None,
+                               cell: str = "gru"):
+    """Whole-network fused BiRNN: one pallas_call for all layers; same signature
+    as birnn_apply_pallas — (outputs (B, L, 2H) f32, h_n (2*NL, B, H) torch
+    layout). Zero h0/c0; inference path."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    if b_tile is None:
+        # smaller tile than the per-layer kernel: the full (L, Bt, G) f32 gate
+        # projections for both directions live in VMEM at once (128 measured
+        # fastest on v5e; 256 within 2%, 512 exceeds the VMEM budget)
+        b_tile = 128
+    b_tile = min(b_tile, max(8, x.shape[0]))
+    x_tm = jnp.transpose(x, (1, 0, 2))
+    if compute_dtype == jnp.bfloat16:
+        x_tm = x_tm.astype(jnp.bfloat16)
+    flat = []
+    for ld in layers:
+        flat.extend(_layer_weights(ld))
+    out_tm, hn = _fused_stack_call(x_tm, tuple(flat), len(layers), b_tile,
+                                   compute_dtype, interpret, cell)
+    return jnp.transpose(out_tm, (1, 0, 2)).astype(jnp.float32), hn

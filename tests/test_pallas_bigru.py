@@ -6,7 +6,8 @@ import pytest
 
 from ccsmeth_tpu.models import AttRNNConfig, init_attrnn, apply_attrnn
 from ccsmeth_tpu.models.rnn import birnn_apply, init_rnn_params
-from ccsmeth_tpu.ops.bigru_pallas import bigru_layer_pallas, birnn_apply_pallas
+from ccsmeth_tpu.ops.bigru_pallas import (bigru_layer_pallas, birnn_apply_pallas,
+                                          birnn_apply_pallas_stacked)
 
 
 def test_single_layer_matches_scan():
@@ -69,6 +70,24 @@ def test_full_model_pallas_backend_matches_xla():
     l_p, p_p = apply_attrnn(params, cfg, feats, rnn_backend="pallas")
     np.testing.assert_allclose(np.asarray(l_p), np.asarray(l_x), atol=5e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x), atol=5e-6)
+
+
+@pytest.mark.parametrize("cell", ["gru", "lstm"])
+def test_stacked_whole_network_matches_scan(cell):
+    """One-pallas_call whole-network kernel vs the lax.scan path, incl. odd B."""
+    rng = np.random.RandomState(9)
+    B, L, C, H, NL = 13, 21, 11, 16, 3
+    layers = init_rnn_params(rng, C, H, NL, cell)
+    x = rng.randn(B, L, C).astype(np.float32)
+    h0 = jnp.zeros((NL * 2, B, H), jnp.float32)
+    c0 = h0 if cell == "lstm" else None
+    ref_out, ref_hn = birnn_apply(layers, jnp.asarray(x), h0, c0, cell)
+    out, hn = birnn_apply_pallas_stacked(layers, jnp.asarray(x), interpret=True,
+                                         b_tile=8, cell=cell)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=3e-5,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(ref_hn), atol=3e-5,
+                               rtol=1e-5)
 
 
 def test_lstm_multilayer_matches_scan():
