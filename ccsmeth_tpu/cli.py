@@ -178,7 +178,8 @@ def main_call_freqb(args):
         layer_rnn=args.layer_rnn, hid_rnn=args.hid_rnn, bin_size=args.bin_size,
         cov_cf=args.cov_cf, only_close=args.only_close, discrete=args.discrete,
         tseed=args.tseed, bed=args.bed, sort=args.sort, gzip=args.gzip,
-        threads=args.threads))
+        threads=args.threads, num_processes=args.num_processes,
+        process_id=args.process_id))
 
 
 def _train_cfg(args):
@@ -400,6 +401,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--only_close", action="store_true", default=False)
     p.add_argument("--discrete", action="store_true", default=False)
     p.add_argument("--tseed", type=int, default=1234)
+    gp = p.add_argument_group("SCALE-OUT")
+    gp.add_argument("--num_processes", type=int, default=1,
+                    help="share-nothing scale-out: total processes splitting the "
+                         "genome chunk list; run one ccsmeth-tpu call_freqb per "
+                         "process with a distinct -o, then concatenate/merge")
+    gp.add_argument("--process_id", type=int, default=0,
+                    help="this process's rank in [0, num_processes)")
     p.set_defaults(func=main_call_freqb)
 
     # extract -----------------------------------------------------------------

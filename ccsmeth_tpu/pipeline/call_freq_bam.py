@@ -84,6 +84,12 @@ class FreqBamConfig:
     sort: bool = False
     gzip: bool = False
     threads: int = 5
+    # share-nothing multi-process scale-out: each process owns a disjoint
+    # round-robin slice of the genome chunk list (parallel/distributed.py) and
+    # writes its own output prefix; concatenate/merge shards afterwards
+    # (scripts/combine_call_mods_freq_files.py)
+    num_processes: int = 1
+    process_id: int = 0
 
 
 # ---------------------------------------------------------------------------------------
@@ -351,9 +357,17 @@ class _ContigAcc:
 
 
 def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
-                        motifs_filter) -> dict[str, _ContigAcc]:
+                        motifs_filter,
+                        owned_regions: dict[str, list] | None = None
+                        ) -> dict[str, _ContigAcc]:
     """One pass over the BAM: filters + MM/ML decode + aligned-pairs walk
-    (parity with _readmods_to_bed_of_one_region's per-read block, lines 488-540)."""
+    (parity with _readmods_to_bed_of_one_region's per-read block, lines 488-540).
+
+    owned_regions: optional {contig: [(start, end), ...]} — reads whose aligned
+    span overlaps no owned interval are skipped (multi-process partitioning;
+    site emission is additionally gated by the owned chunk loop, so a straddling
+    read contributing a few out-of-range sites costs memory, never correctness).
+    """
     modbase = "C" if cfg.modtype == "5mC" else "-"
     modification = "m"
     accs: dict[str, _ContigAcc] = {}
@@ -386,6 +400,13 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
             continue
         if compute_pct_identity(rec.get_cigar_stats()) < cfg.identity:
             continue
+        if owned_regions is not None:
+            spans = owned_regions.get(contig)
+            if not spans:
+                continue
+            r_end = rec.reference_end if rec.cigar else rec.pos + 1
+            if not any(s < r_end and rec.pos < e for s, e in spans):
+                continue
         try:
             hap = int(rec.get_tag(cfg.hap_tag))
         except (KeyError, ValueError, TypeError):
@@ -460,8 +481,21 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
                     "%s sites", motifs_filter)
 
     aggr = AggrPredictor(cfg) if cfg.call_mode == "aggregate" else None
-    accs = scan_bam_accumulate(cfg, dnacontigs, set(motifs) if motifs_filter else None)
     ref_chunks = get_reference_chunks(dnacontigs, cfg.contigs, cfg.chunk_len, cfg.motifs)
+    owned_regions = None
+    if cfg.num_processes > 1:
+        if not 0 <= cfg.process_id < cfg.num_processes:
+            raise ValueError("--process_id must be in [0, num_processes)")
+        from ..parallel.distributed import partition_chunks
+
+        ref_chunks = partition_chunks(ref_chunks, cfg.process_id, cfg.num_processes)
+        owned_regions = {}
+        for contig, s, e in ref_chunks:
+            owned_regions.setdefault(contig, []).append((s, e))
+        LOGGER.info("process %d/%d owns %d genome chunks", cfg.process_id,
+                    cfg.num_processes, len(ref_chunks))
+    accs = scan_bam_accumulate(cfg, dnacontigs, set(motifs) if motifs_filter else None,
+                               owned_regions)
 
     # motif filter window params (lines 464-471)
     fwd_s = fwd_e = rev_s = rev_e = None

@@ -238,3 +238,26 @@ def test_gzip_output(modbam, tmp_path):
     assert all(p.endswith(".gz") for p in outs)
     with gzip.open([p for p in outs if ".all." in p][0], "rt") as f:
         assert len(f.read().splitlines()) > 10
+
+
+def test_multiprocess_sharding_reconstructs_single_run(modbam, tmp_path):
+    """Union of the per-process shard outputs == the single-process output
+    (disjoint round-robin chunk ownership; chunk_len small so both shards own
+    several chunks of the 3kb contig)."""
+    outs_single = _run_ours(modbam, str(tmp_path / "single"), chunk_len=500)
+    single = _parse_freq_txt([p for p in outs_single if ".all." in p][0])
+
+    merged = []
+    owned_counts = []
+    for pid in range(2):
+        outs = _run_ours(modbam, str(tmp_path / "shard{}".format(pid)),
+                         chunk_len=500, num_processes=2, process_id=pid)
+        out_all = [p for p in outs if ".all." in p]
+        rows = _parse_freq_txt(out_all[0]) if out_all else []
+        owned_counts.append(len(rows))
+        merged.extend(rows)
+    assert all(c > 0 for c in owned_counts), "both shards must emit sites"
+    key = lambda x: (x[0], x[1], x[2])
+    assert sorted(merged, key=key) == sorted(single, key=key)
+    # disjoint ownership: no site emitted twice
+    assert len(merged) == len({(r[0], r[1], r[2]) for r in merged})
