@@ -131,7 +131,8 @@ def main_call_mods(args):
         skip_unmapped=str2bool(args.skip_unmapped), holeids_e=args.holeids_e,
         holeids_ne=args.holeids_ne, gzip_out=args.gzip,
         rnn_backend=args.rnn_backend, precision=args.precision,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir,
+        num_processes=args.num_processes, process_id=args.process_id)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
         if args.seq_len % 2 == 0:
             raise ValueError("--seq_len must be odd")
@@ -318,6 +319,13 @@ def get_parser() -> argparse.ArgumentParser:
                     help="compute precision for the pallas fast path, default fp32")
     gc.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler device trace here (xprof viewable)")
+    gs = p.add_argument_group("SCALE-OUT")
+    gs.add_argument("--num_processes", type=int, default=1,
+                    help="share-nothing scale-out: total processes splitting the "
+                         "read stream by stable qname hash; run one call_mods "
+                         "per process with a distinct -o, then merge modbams")
+    gs.add_argument("--process_id", type=int, default=0,
+                    help="this process's rank in [0, num_processes)")
     _add_extraction_args(p, call_mods=True)
     p.add_argument("--threads", "-p", type=int, default=10)
     p.add_argument("--threads_call", type=int, default=3,

@@ -32,6 +32,7 @@ from ..models import AttRNNConfig, TransEncConfig, apply_attrnn, torch_ckpt_to_p
 from ..models.params_io import load_params
 from ..models.transenc import apply_transenc
 from ..parallel.mesh import data_mesh, make_predict_fn
+from ..parallel.distributed import owns_read
 from ..utils.codecs import get_motif_seqs
 from ..utils.constants import CODE2BASE_DNA
 from ..utils.fasta import DNAReference
@@ -84,6 +85,12 @@ class CallModsConfig:
     # optionally in bf16 (fastest; probs may differ in the last ~2 decimals)
     rnn_backend: str = "xla"
     precision: str = "fp32"  # fp32 | bf16
+    # share-nothing multi-process scale-out: stable hash of the read name picks
+    # exactly one owner per read (parallel/distributed.owns_read); each process
+    # writes its own output prefix and the shard modbams/TSVs union to the full
+    # single-process output (merge with samtools cat / plain concat)
+    num_processes: int = 1
+    process_id: int = 0
     profile_dir: str | None = None  # jax.profiler trace output dir
 
     def extract_config(self) -> ExtractConfig:
@@ -178,6 +185,13 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     holeids_ne = _get_holes(cfg.holeids_ne) if cfg.holeids_ne else None
     ecfg = cfg.extract_config()
 
+    shard = None
+    if cfg.num_processes > 1:
+        if not 0 <= cfg.process_id < cfg.num_processes:
+            raise ValueError("--process_id must be in [0, num_processes)")
+        shard = (cfg.process_id, cfg.num_processes)
+        LOGGER.info("read sharding: process %d/%d", cfg.process_id,
+                    cfg.num_processes)
     reader = BamReader(input_path)
     refnames = [r[0] for r in reader.header.references]
     out_header = reader.header.add_pg("ccsmeth_tpu", "ccsmeth_tpu", __version__,
@@ -229,6 +243,8 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
 
             holebatch = []
             for rec in reader:
+                if shard is not None and not owns_read(rec.qname, *shard):
+                    continue
                 holebatch.append(rec)
                 if len(holebatch) >= cfg.holes_batch:
                     item = (holebatch, pool.submit(mp_extract.extract_holebatch,
@@ -486,6 +502,11 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
     holeids_e = _get_holes(cfg.holeids_e) if cfg.holeids_e else None
     holeids_ne = _get_holes(cfg.holeids_ne) if cfg.holeids_ne else None
+    shard = None
+    if cfg.num_processes > 1:
+        if not 0 <= cfg.process_id < cfg.num_processes:
+            raise ValueError("--process_id must be in [0, num_processes)")
+        shard = (cfg.process_id, cfg.num_processes)
 
     opener = gzip.open if input_path.endswith(".gz") else open
     if cfg.gzip_out:
@@ -498,6 +519,8 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         for line in rf:
             w = line.rstrip("\n").split("\t")
             if len(w) < 22:
+                continue
+            if shard is not None and not owns_read(w[3], *shard):
                 continue
             rows.append(w)
             if len(rows) >= cfg.batch_size * 4:

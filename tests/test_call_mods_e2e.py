@@ -162,3 +162,40 @@ def test_call_mods_txt_path(tmp_path):
     assert strand in "+-" and "," in depth and len(kmer) == 5
     assert abs(float(p0) + float(p1) - 1.0) < 2e-6
     assert label in ("0", "1")
+
+
+def test_call_mods_bam_read_sharding(tmp_path):
+    """Union of per-process shard modbams == the unsharded modbam (stable qname
+    hash ownership; every read lands in exactly one shard, tags identical)."""
+    bam = str(tmp_path / "in.bam")
+    make_synth_bam(bam, n_reads=12, read_len=200, ref_len=2000, seed=5)
+    _tm, ckpt = _make_ckpt(tmp_path)
+
+    def read_tags(path):
+        out = {}
+        for rec in BamReader(path):
+            d = {t[0]: t[-1] for t in rec.tags}
+            ml = d.get("ML")
+            out[rec.qname] = (d.get("MM"), tuple(int(v) for v in ml)
+                              if ml is not None else None)
+        return out
+
+    cfg = CallModsConfig(model_file=ckpt, mode="denovo", batch_size=32)
+    full = read_tags(call_mods_bam(cfg, bam, str(tmp_path / "full")))
+
+    merged = {}
+    shard_sizes = []
+    for pid in range(2):
+        cfg_s = CallModsConfig(model_file=ckpt, mode="denovo", batch_size=32,
+                               num_processes=2, process_id=pid)
+        got = read_tags(call_mods_bam(cfg_s, bam, str(tmp_path / f"s{pid}")))
+        shard_sizes.append(len(got))
+        assert not set(got) & set(merged), "read owned by two shards"
+        merged.update(got)
+    assert all(n > 0 for n in shard_sizes), "both shards must own reads"
+    assert merged == full
+
+    with pytest.raises(ValueError):
+        call_mods_bam(CallModsConfig(model_file=ckpt, mode="denovo",
+                                     num_processes=2, process_id=7),
+                      bam, str(tmp_path / "bad"))
