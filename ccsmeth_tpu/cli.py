@@ -54,6 +54,10 @@ def _add_extraction_args(p, call_mods=False):
                     help="not use supplementary alignment")
     ga.add_argument("--skip_unmapped", type=str, default="yes",
                     help="if skipping unmapped sites in reads, yes or no, default yes")
+    # drop-in compatibility with the reference CLI (ccsmeth.py): accepted and
+    # ignored — BAM sort/index is first-party here, no samtools needed
+    p.add_argument("--path_to_samtools", type=str, default=None,
+                   help=argparse.SUPPRESS)
 
 
 def _add_model_args(p, train=False):
@@ -259,6 +263,9 @@ def _add_train_args(p):
                         "custom VJP (GRU models), default xla")
     g.add_argument("--precision", type=str, default="fp32",
                    choices=["fp32", "bf16"])
+    g.add_argument("--use_compile", type=str, default="no",
+                   help="[IGNORED] everything is jit-compiled; reference-CLI "
+                        "compatibility (torch.compile toggle)")
     g.add_argument("--save_opt_state", action="store_true", default=False,
                    help="persist optimizer state + epoch next to each checkpoint")
     g.add_argument("--resume_from", type=str, default=None,
@@ -314,6 +321,9 @@ def get_parser() -> argparse.ArgumentParser:
                     choices=["xla", "pallas"],
                     help="BiGRU backend: xla (fp32 reference parity) or pallas "
                          "(fused TPU kernel fast path), default xla")
+    gc.add_argument("--use_compile", type=str, default="no",
+                    help="[IGNORED] everything is jit-compiled; reference-CLI "
+                         "compatibility (torch.compile toggle)")
     gc.add_argument("--precision", type=str, default="fp32",
                     choices=["fp32", "bf16"],
                     help="compute precision for the pallas fast path, default fp32")
@@ -432,8 +442,6 @@ def get_parser() -> argparse.ArgumentParser:
     # train -------------------------------------------------------------------
     p = sub.add_parser("train", help="train a model")
     _add_train_args(p)
-    p.add_argument("--use_compile", type=str, default="no",
-                   help="[compat] jit is always on in this engine")
     p.set_defaults(func=main_train)
 
     # trainm ------------------------------------------------------------------
