@@ -237,8 +237,6 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
         if cfg.rnn_cell not in ("gru", "lstm") or h0 is not None or h0_2 is not None:
             raise ValueError("pallas backend: gru/lstm with zero h0 only")
         if train:
-            if cfg.rnn_cell != "gru":
-                raise ValueError("pallas training backend: GRU only")
             # differentiable fused kernels (custom VJP) + inter-layer dropout
             from ..ops.bigru_pallas_vjp import birnn_apply_pallas_trainable
 
@@ -247,7 +245,8 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
                 dropout_rng, rnn_rng = jax.random.split(dropout_rng)
             outs, h_n = birnn_apply_pallas_trainable(
                 params["rnn"], both, compute_dtype=compute_dtype,
-                dropout_rate=cfg.dropout_rate, dropout_rng=rnn_rng)
+                dropout_rate=cfg.dropout_rate, dropout_rng=rnn_rng,
+                cell=cfg.rnn_cell)
         else:
             # whole-network fused kernel: all layers in one pallas_call (the
             # per-layer kernel birnn_apply_pallas remains as the VJP base)

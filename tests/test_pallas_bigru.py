@@ -132,14 +132,34 @@ def test_full_lstm_model_pallas_backend_matches_xla():
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x), atol=5e-6)
 
 
-def test_pallas_backend_rejects_lstm_train_and_h0():
+def test_pallas_backend_rejects_nonzero_h0():
     cfg = AttRNNConfig(num_layers=1, hidden_size=16, dropout_rate=0,
                        model_type="attbilstm2s")
     params = init_attrnn(0, cfg)
     rng = np.random.RandomState(8)
     feats = _lstm_feats(rng, B=2)
-    with pytest.raises(ValueError):
-        apply_attrnn(params, cfg, feats, rnn_backend="pallas", train=True)
     h0 = jnp.zeros((2, 2, 16), jnp.float32)
     with pytest.raises(ValueError):
         apply_attrnn(params, cfg, feats, rnn_backend="pallas", h0=h0)
+
+
+def test_pallas_backend_lstm_train_grads_finite():
+    """Full-model train forward+grad through the LSTM custom-VJP path."""
+    cfg = AttRNNConfig(num_layers=2, hidden_size=16, dropout_rate=0.2,
+                       model_type="attbilstm2s")
+    params = init_attrnn(1, cfg)
+    rng = np.random.RandomState(9)
+    feats = _lstm_feats(rng, B=8)
+
+    def loss(p):
+        logits, _ = apply_attrnn(p, cfg, feats, rnn_backend="pallas",
+                                 train=True, dropout_rng=jax.random.PRNGKey(0))
+        return jnp.sum(logits ** 2)
+
+    import jax
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # the rnn weights must actually receive gradient
+    gl0 = g["rnn"][0]["fwd"]["w_ih"]
+    assert float(jnp.abs(gl0).max()) > 0
