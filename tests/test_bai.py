@@ -76,3 +76,16 @@ def test_unsorted_bam_rejected(tmp_path):
             w.write(r)
     with pytest.raises(ValueError, match="not coordinate-sorted"):
         build_index(p)
+
+
+def test_fetch_wide_coordinate_multiblock(tmp_path):
+    """Stress: reads tiled over 5Mb (hundreds of 16kb BAI windows, multiple
+    BGZF blocks); fetches across window boundaries equal brute force."""
+    p = str(tmp_path / "wide.bam")
+    make_synth_bam(p, n_reads=600, read_len=2000, ref_len=5_000_000, seed=9)
+    build_index(p)
+    for start, stop in [(0, 10_000), (16_000, 17_000), (2_500_000, 2_600_000),
+                        (4_990_000, 5_000_000), (0, 5_000_000)]:
+        got = sorted(r.qname for r in fetch_region(p, "chrS", start, stop))
+        want = sorted(_brute_force(p, start, stop))
+        assert got == want, (start, stop, len(got), len(want))

@@ -64,3 +64,28 @@ def test_freqb_gzip_produces_tbi(tmp_path):
     assert out_all.endswith(".gz") and os.path.exists(out_all + ".tbi")
     tf = TabixFile(out_all)
     assert len(list(tf.query("chrS", 0, 2000))) > 5
+
+
+def test_multiblock_wide_coordinates(tmp_path):
+    """Stress: rows across many BGZF blocks and bin levels (coords to 60M, long
+    payloads forcing block splits); queries spanning block and bin boundaries
+    must equal brute force, including duplicate positions."""
+    rng = np.random.RandomState(7)
+    poss = np.sort(rng.choice(np.arange(0, 60_000_000, dtype=np.int64),
+                              size=20000, replace=False))
+    poss = np.concatenate([poss, poss[:100]])  # duplicated rows, distinct payload
+    poss.sort(kind="stable")
+    path = str(tmp_path / "wide.bed.gz")
+    pad = "x" * 200  # ~4.1MB uncompressed -> dozens of BGZF blocks
+    with BgzfWriter(path) as w:
+        for k, p in enumerate(poss):
+            w.write(f"chrW\t{int(p)}\t{int(p)+1}\trow{k}\t{pad}\n".encode())
+    build_tabix_index(path)
+    tf = TabixFile(path)
+    plist = [int(p) for p in poss]
+    for beg, end in [(0, 1000), (16_383, 16_385), (1_000_000, 1_100_000),
+                     (59_000_000, 60_000_000), (0, 60_000_000),
+                     (int(poss[len(poss)//2]), int(poss[len(poss)//2]) + 1)]:
+        got = sorted(int(l.split("\t")[1]) for l in tf.query("chrW", beg, end))
+        want = sorted(p for p in plist if beg <= p < end)
+        assert got == want, (beg, end, len(got), len(want))
