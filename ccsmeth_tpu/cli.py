@@ -204,6 +204,7 @@ def _train_cfg(args):
         lr_mode_strategy=args.lr_mode_strategy, max_epoch_num=args.max_epoch_num,
         min_epoch_num=args.min_epoch_num, pos_weight=args.pos_weight,
         step_interval=args.step_interval, init_model=args.init_model,
+        dl_offsets=args.dl_offsets,
         save_opt_state=args.save_opt_state, resume_from=args.resume_from,
         rnn_backend=args.rnn_backend, precision=args.precision,
         tseed=args.tseed,
@@ -255,7 +256,9 @@ def _add_train_args(p):
     g.add_argument("--dl_num_workers", type=int, default=0,
                    help="[IGNORED] data loading is vectorized in-process")
     g.add_argument("--dl_offsets", action="store_true", default=False,
-                   help="[IGNORED] data loading is vectorized in-process")
+                   help="stream training data out-of-core (chunked windowed "
+                        "shuffle) instead of loading it all in RAM — for "
+                        "feature files larger than memory")
     g.add_argument("--init_model", type=str, default=None)
     g.add_argument("--rnn_backend", type=str, default="xla",
                    choices=["xla", "pallas"],

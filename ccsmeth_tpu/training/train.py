@@ -31,7 +31,7 @@ from ..models.params_io import load_params, save_params
 from ..models.transenc import apply_transenc, init_transenc
 from ..parallel.mesh import data_mesh, replicated_spec, shard_batch_spec
 from ..utils.logging import mylogger
-from .data import FeatureDataset
+from .data import FeatureDataset, StreamingFeatureDataset
 from .optim import LrSchedule, build_optimizer, set_learning_rate
 
 LOGGER = mylogger(__name__)
@@ -76,6 +76,7 @@ class TrainConfig:
     resume_from: str | None = None  # params .npz; sibling .train_state.npz restores
     #                                 optimizer state + epoch
     # 'pallas' trains through the fused kernels + custom VJP (GRU, zero h0)
+    dl_offsets: bool = False  # out-of-core streaming loader
     rnn_backend: str = "xla"
     precision: str = "fp32"  # fp32 | bf16 (pallas matmul operand dtype)
     # distributed (trainm parity: nodes/node_rank replaced by jax.distributed)
@@ -228,8 +229,14 @@ def train(cfg: TrainConfig) -> dict:
 
     LOGGER.info("reading data..")
     single_strand = not model_cfg.two_strand if hasattr(model_cfg, "two_strand") else False
-    train_ds = FeatureDataset.from_tsv(cfg.train_file, cfg.seq_len, single_strand)
-    valid_ds = FeatureDataset.from_tsv(cfg.valid_file, cfg.seq_len, single_strand)
+    if cfg.dl_offsets:
+        # out-of-core chunked-shuffle loading for files that don't fit in RAM
+        # (reference FeaData2 --dl_offsets analog)
+        train_ds = StreamingFeatureDataset(cfg.train_file, cfg.seq_len, single_strand)
+        valid_ds = StreamingFeatureDataset(cfg.valid_file, cfg.seq_len, single_strand)
+    else:
+        train_ds = FeatureDataset.from_tsv(cfg.train_file, cfg.seq_len, single_strand)
+        valid_ds = FeatureDataset.from_tsv(cfg.valid_file, cfg.seq_len, single_strand)
 
     if cfg.resume_from:
         cfg = dataclasses.replace(cfg, init_model=cfg.resume_from)

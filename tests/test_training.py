@@ -214,3 +214,59 @@ def test_resume_with_optimizer_state(tmp_path):
 
         m = re.search(r"epoch(\d+)", p)
         assert int(m.group(1)) >= 3
+
+
+def test_streaming_dataset_matches_inmemory(tmp_path):
+    """StreamingFeatureDataset yields the same multiset of rows as FeatureDataset
+    (chunked windowed shuffle; small chunk_rows forces many chunks + carry)."""
+    from ccsmeth_tpu.training.data import StreamingFeatureDataset
+
+    p = str(tmp_path / "f.tsv")
+    _write_feature_tsv(p, n=333)
+    mem = FeatureDataset(load_feature_tsv(p))
+    stream = StreamingFeatureDataset(p, chunk_rows=50)
+    assert len(stream) == len(mem) == 333
+
+    def collect(ds, shuffle):
+        rows = []
+        for feats, labels, n_valid in ds.batches(64, shuffle,
+                                                 np.random.RandomState(0),
+                                                 pad_to=64):
+            for j in range(n_valid):
+                rows.append((float(feats["ipd_means"][j].sum()), int(labels[j])))
+        return rows
+
+    got = collect(stream, shuffle=True)
+    want = collect(mem, shuffle=False)
+    assert len(got) == len(want)
+    assert sorted(got) == sorted(want)
+    # shuffled stream is not in file order
+    assert got != want
+
+
+def test_streaming_dataset_train_e2e(tmp_path):
+    """train() with dl_offsets=True (streaming loader) learns the separable set."""
+    tr = str(tmp_path / "t.tsv")
+    va = str(tmp_path / "v.tsv")
+    _write_feature_tsv(tr, n=1600, seed=0)
+    _write_feature_tsv(va, n=400, seed=1)
+    from ccsmeth_tpu.training.train import TrainConfig, train
+
+    from ccsmeth_tpu.training import data as data_mod
+
+    orig = data_mod.StreamingFeatureDataset
+
+    class SmallChunks(orig):
+        def __init__(self, path, seq_len=21, single_strand=False, chunk_rows=65536):
+            super().__init__(path, seq_len, single_strand, chunk_rows=200)
+
+    data_mod_train = __import__("ccsmeth_tpu.training.train", fromlist=["x"])
+    data_mod_train.StreamingFeatureDataset, saved = SmallChunks,         data_mod_train.StreamingFeatureDataset
+    try:
+        res = train(TrainConfig(
+            train_file=tr, valid_file=va, model_dir=str(tmp_path / "m"),
+            model_type="attbigru2s", layer_rnn=2, hid_rnn=64, batch_size=256,
+            max_epoch_num=2, min_epoch_num=1, step_interval=4, dl_offsets=True))
+    finally:
+        data_mod_train.StreamingFeatureDataset = saved
+    assert res["best_accuracy"] > 0.7
