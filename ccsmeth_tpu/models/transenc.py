@@ -85,30 +85,38 @@ def _layer_norm(x, p, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def _mha(lp, x, nhead):
+def _dot(x, w, cd):
+    """MXU matmul in compute dtype cd with f32 accumulation (bf16 fast path;
+    layernorm/softmax/residuals stay f32 either way)."""
+    return jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+
+
+def _mha(lp, x, nhead, cd):
     B, L, d = x.shape
     hd = d // nhead
-    q = (jnp.dot(x, lp["wq"], preferred_element_type=jnp.float32) + lp["bq"]).reshape(B, L, nhead, hd)
-    k = (jnp.dot(x, lp["wk"], preferred_element_type=jnp.float32) + lp["bk"]).reshape(B, L, nhead, hd)
-    v = (jnp.dot(x, lp["wv"], preferred_element_type=jnp.float32) + lp["bv"]).reshape(B, L, nhead, hd)
-    scores = jnp.einsum("blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32) / math.sqrt(hd)
+    q = (_dot(x, lp["wq"], cd) + lp["bq"]).reshape(B, L, nhead, hd)
+    k = (_dot(x, lp["wk"], cd) + lp["bk"]).reshape(B, L, nhead, hd)
+    v = (_dot(x, lp["wv"], cd) + lp["bv"]).reshape(B, L, nhead, hd)
+    scores = jnp.einsum("blhd,bmhd->bhlm", q.astype(cd), k.astype(cd),
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
     w = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhlm,bmhd->blhd", w, v, preferred_element_type=jnp.float32).reshape(B, L, d)
-    return jnp.dot(ctx, lp["wo"], preferred_element_type=jnp.float32) + lp["bo"]
+    ctx = jnp.einsum("bhlm,bmhd->blhd", w.astype(cd), v.astype(cd),
+                     preferred_element_type=jnp.float32).reshape(B, L, d)
+    return _dot(ctx, lp["wo"], cd) + lp["bo"]
 
 
-def _encoder(params, cfg: TransEncConfig, x, dropout_rng, train):
+def _encoder(params, cfg: TransEncConfig, x, dropout_rng, train, cd=jnp.float32):
     for lp in params["layers"]:
-        a = _mha(lp, x, cfg.nhead)
+        a = _mha(lp, x, cfg.nhead, cd)
         if train:
             dropout_rng, sub = jax.random.split(dropout_rng)
             a = _dropout(a, cfg.dropout_rate, sub)
         x = _layer_norm(x + a, lp["ln1"])
-        h = jax.nn.relu(jnp.dot(x, lp["lin1"]["w"], preferred_element_type=jnp.float32) + lp["lin1"]["b"])
+        h = jax.nn.relu(_dot(x, lp["lin1"]["w"], cd) + lp["lin1"]["b"])
         if train:
             dropout_rng, sub = jax.random.split(dropout_rng)
             h = _dropout(h, cfg.dropout_rate, sub)
-        h = jnp.dot(h, lp["lin2"]["w"], preferred_element_type=jnp.float32) + lp["lin2"]["b"]
+        h = _dot(h, lp["lin2"]["w"], cd) + lp["lin2"]["b"]
         if train:
             dropout_rng, sub = jax.random.split(dropout_rng)
             h = _dropout(h, cfg.dropout_rate, sub)
@@ -116,7 +124,8 @@ def _encoder(params, cfg: TransEncConfig, x, dropout_rng, train):
     return x
 
 
-def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train):
+def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
+                  cd=jnp.float32):
     L = cfg.seq_len
     parts = [
         jnp.take(params["seq_embed"], f["kmer" + suffix].astype(jnp.int32), axis=0),
@@ -143,17 +152,18 @@ def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train):
     if train:
         dropout_rng, sub = jax.random.split(dropout_rng)
         x = _dropout(x, cfg.dropout_rate, sub)
-    x = _encoder(params, cfg, x, dropout_rng, train)
+    x = _encoder(params, cfg, x, dropout_rng, train, cd)
     return jnp.mean(x, axis=1)  # (N, d) (models.py:601,615)
 
 
 def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
-                   dropout_rng=None, train: bool = False):
+                   dropout_rng=None, train: bool = False,
+                   compute_dtype=jnp.float32):
     rng1 = rng2 = rng3 = None
     if dropout_rng is not None:
         rng1, rng2, rng3 = jax.random.split(dropout_rng, 3)
-    out1 = _strand_embed(params, cfg, feats, "", rng1, train)
-    out2 = _strand_embed(params, cfg, feats, "2", rng2, train)
+    out1 = _strand_embed(params, cfg, feats, "", rng1, train, compute_dtype)
+    out2 = _strand_embed(params, cfg, feats, "2", rng2, train, compute_dtype)
     out = jnp.concatenate([out1, out2], axis=1)
     c0p, c1p = params["classifier"]
     out = jax.nn.relu(jnp.dot(out, c0p["w"], preferred_element_type=jnp.float32) + c0p["b"])

@@ -138,11 +138,12 @@ def _get_holes(path: str) -> set:
 
 
 def _apply_for(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
-    if isinstance(model_cfg, TransEncConfig):
-        return lambda params, cfg, feats: apply_transenc(params, cfg, feats)
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    if isinstance(model_cfg, TransEncConfig):
+        return lambda params, cfg, feats: apply_transenc(params, cfg, feats,
+                                                         compute_dtype=dtype)
     return lambda params, cfg, feats: apply_attrnn(
         params, cfg, feats, rnn_backend=rnn_backend, compute_dtype=dtype)
 

@@ -101,6 +101,12 @@ class TrainConfig:
 
 def _apply_fn(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
     if isinstance(model_cfg, TransEncConfig):
+        if precision == "bf16":
+            def apply_te_bf16(params, cfg, feats, **kw):
+                return apply_transenc(params, cfg, feats,
+                                      compute_dtype=jnp.bfloat16, **kw)
+
+            return apply_te_bf16
         return apply_transenc
     if not model_cfg.two_strand:
         from ..models import apply_attrnn_ss

@@ -270,3 +270,20 @@ def test_streaming_dataset_train_e2e(tmp_path):
     finally:
         data_mod_train.StreamingFeatureDataset = saved
     assert res["best_accuracy"] > 0.7
+
+
+def test_streaming_dataset_host_sharding(tmp_path):
+    """shard=(i, n) on the streaming loader stripes batches disjointly (the
+    multi-host DistributedSampler analog), unioning to all full batches."""
+    from ccsmeth_tpu.training.data import StreamingFeatureDataset
+
+    p = str(tmp_path / "f.tsv")
+    _write_feature_tsv(p, n=320)
+    ds = StreamingFeatureDataset(p, chunk_rows=100)
+    rngs = [np.random.RandomState(3) for _ in range(3)]
+    all_b = list(ds.batches(64, True, rngs[0]))
+    s0 = list(ds.batches(64, True, rngs[1], shard=(0, 2)))
+    s1 = list(ds.batches(64, True, rngs[2], shard=(1, 2)))
+    assert len(s0) + len(s1) == len(all_b)
+    key = lambda b: float(b[0]["ipd_means"].sum())
+    assert sorted(map(key, s0 + s1)) == sorted(map(key, all_b))
