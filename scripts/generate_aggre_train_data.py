@@ -38,13 +38,23 @@ def main():
     args = parser.parse_args()
 
     truth = read_bs_bed(args.bs_bed, args.bs_cov_cf)
-    # group per (chrom, strand)
+    # group per (chrom, strand); accepts BOTH per_readsite formats: the compact
+    # 5-column site list (probs comma-joined in col 4) and the reference's
+    # 10-column per-read-site rows (one prob per row, col 7)
     groups = {}
+    per_site: dict = {}
     with open(args.per_site) as rf:
         for line in rf:
             w = line.strip().split("\t")
-            probs = np.asarray([float(x) for x in w[4].split(",")])
-            groups.setdefault((w[0], w[2]), []).append((int(w[1]), probs))
+            if len(w) >= 10:
+                per_site.setdefault((w[0], int(w[1]), w[2]), []).append(float(w[7]))
+            else:
+                probs = np.asarray([float(x) for x in w[4].split(",")])
+                groups.setdefault((w[0], w[2]), []).append((int(w[1]), probs))
+    for (chrom, pos, strand), plist in sorted(per_site.items()):
+        groups.setdefault((chrom, strand), []).append((pos, np.asarray(plist)))
+    for g in groups.values():
+        g.sort(key=lambda t: t[0])
 
     pad = args.seq_len // 2
     n = 0

@@ -230,39 +230,57 @@ def test_phase_and_dmr(tmp_path):
 
 
 def test_bam2bisbam(tmp_path):
-    from ccsmeth_tpu.bamio import BamReader, BamWriter
+    """Reference-space bis conversion: CpG sites become kept-C (methylated),
+    T/A (unmethylated), or N (uncalled); output carries the ref span with an
+    all-M cigar and HP from call-file membership (bam2bisbam.py:201-234)."""
+    from ccsmeth_tpu.bamio import BamReader
 
     bam = str(tmp_path / "b.bam")
     refseq, _ = make_synth_bam(bam, n_reads=4, read_len=100, ref_len=1000)
-    rd = BamReader(bam)
-    recs = list(rd)
-    for r in recs:
-        r.set_tag("HP", "i", 1)
-    tagged = str(tmp_path / "b.hp.bam")
-    with BamWriter(tagged, rd.header) as w:
-        for r in recs:
-            w.write(r)
-    # calls: first C of each read's fwd seq, unmethylated
+    fasta = str(tmp_path / "ref.fa")
+    write_fasta(fasta, {"chrS": refseq})
+    recs = list(BamReader(bam))
+    # per-read calls at REF positions: first CpG in span methylated, second
+    # unmethylated; the rest uncalled
+    import re as _re
+
     pr1 = str(tmp_path / "c1.tsv")
+    expected = {}
     with open(pr1, "w") as f:
         for r in recs:
-            fwd = r.get_forward_sequence()
-            loc = fwd.find("C")
-            f.write("\t".join(["chrS", "0", "+", r.qname, str(loc), "9,9",
-                               "0.9", "0.1", "0", "ACGCG"]) + "\n")
+            span = refseq[r.pos : r.reference_end]
+            cpgs = [m.start() + r.pos for m in _re.finditer("CG", span)]
+            if len(cpgs) < 3:
+                continue
+            f.write("\t".join(["chrS", str(cpgs[0]), "+", r.qname, "0",
+                               "9,9", "0.1", "0.9", "1", "ACGCG"]) + "\n")
+            f.write("\t".join(["chrS", str(cpgs[1]), "+", r.qname, "0",
+                               "9,9", "0.9", "0.1", "0", "ACGCG"]) + "\n")
+            expected[r.qname] = (cpgs[0], cpgs[1], cpgs[2])
     pr2 = str(tmp_path / "c2.tsv")
     open(pr2, "w").close()
-    out = run_script("hap/bam2bisbam.py", "--haped_bam", tagged,
+    out = run_script("hap/bam2bisbam.py", "--haped_bam", bam,
                      "--haped_tsv1", pr1, "--haped_tsv2", pr2,
-                     "--outprefix", str(tmp_path / "bis"))
-    assert "converted" in out
-    bis = list(BamReader(str(tmp_path / "bis.hp1.bis.bam")))
-    assert len(bis) == 4
-    for orig, conv in zip(recs, bis):
-        fwd_o = orig.get_forward_sequence()
-        fwd_c = conv.get_forward_sequence()
-        loc = fwd_o.find("C")
-        assert fwd_c[loc] == "T"  # unmethylated C converted
+                     "--ref", fasta, "--outprefix", str(tmp_path / "bis"))
+    assert "hp1:" in out
+    bis = {r.qname: r for r in BamReader(str(tmp_path / "bis.hp1bis.bam"))}
+    assert len(bis) == len(expected) > 0
+    for orig in recs:
+        if orig.qname not in expected:
+            continue
+        conv = bis[orig.qname]
+        meth, unmeth, uncalled = expected[orig.qname]
+        off = 1 if orig.is_reverse else 0
+        unmod = "A" if orig.is_reverse else "T"
+        assert conv.pos == orig.pos
+        assert conv.cigar == [(0, orig.reference_end - orig.pos)]
+        s = conv.seq
+        assert s[meth - orig.pos + off] == ("G" if orig.is_reverse else "C")
+        assert s[unmeth - orig.pos + off] == unmod
+        assert s[uncalled - orig.pos + off] == "N"
+        assert conv.get_tag("HP") == 1
+    # hp2 file empty -> no reads
+    assert not os.path.exists(str(tmp_path / "bis.hp2bis.bam")) or         len(list(BamReader(str(tmp_path / "bis.hp2bis.bam")))) == 0
 
 
 def test_unzip_model_ckpt_roundtrip(tmp_path):
@@ -341,13 +359,34 @@ def test_aggre_train_data_pipeline(tmp_path):
     modbam = call_mods_bam(
         CallModsConfig(model_file=ckpt, mode="align", ref=fasta, batch_size=64),
         bam, str(tmp_path / "m"))
+    # default: the reference's 10-column per-read-site format
+    per_read = str(tmp_path / "perread.tsv")
+    run_script("call_mods_freq_bam_per_readsite.py", "-i", modbam, "--ref", fasta,
+               "-o", per_read)
+    rlines = open(per_read).read().splitlines()
+    assert rlines
+    rw = rlines[0].split("\t")
+    assert len(rw) == 10 and rw[4] == "-1" and rw[5] == "1,1" and rw[9] == "-"
+    assert abs(float(rw[6]) + float(rw[7]) - 1.0) < 1e-9
+    assert rw[8] in ("0", "1")
+    # --sitelist: compact per-site rows
     per_site = str(tmp_path / "persite.tsv")
     run_script("call_mods_freq_bam_per_readsite.py", "-i", modbam, "--ref", fasta,
-               "-o", per_site)
+               "-o", per_site, "--sitelist")
     lines = open(per_site).read().splitlines()
     assert lines
     w = lines[0].split("\t")
     assert int(w[3]) == len(w[4].split(","))
+    # both formats carry the same probs per site
+    from collections import defaultdict
+    agg = defaultdict(list)
+    for ln in rlines:
+        f = ln.split("\t")
+        agg[(f[0], f[1], f[2])].append(round(float(f[7]), 6))
+    for ln in lines:
+        f = ln.split("\t")
+        assert sorted(agg[(f[0], f[1], f[2])]) == sorted(
+            round(float(x), 6) for x in f[4].split(","))
     # BS truth covering those sites
     bs = str(tmp_path / "bs.bed")
     with open(bs, "w") as f:
@@ -363,3 +402,8 @@ def test_aggre_train_data_pipeline(tmp_path):
     w = rows[0].split("\t")
     assert len(w) == 7
     assert len(w[4].split(";")) == 11  # 11-site histogram windows
+    # 10-column input produces the identical training rows
+    out2 = str(tmp_path / "aggre2.tsv")
+    run_script("generate_aggre_train_data.py", "-i", per_read, "--bs_bed", bs,
+               "-o", out2, "--cov_cf", "1", "--bs_cov_cf", "1")
+    assert open(out2).read() == open(out).read()
