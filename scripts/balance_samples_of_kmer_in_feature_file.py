@@ -57,7 +57,11 @@ def main():
     parser.add_argument("--wfile", type=str, required=True)
     parser.add_argument("--random_frac", type=float, default=1.0,
                         help="scale factor on the target counts, default 1.0")
-    parser.add_argument("--is_floor", action="store_true", default=False)
+    parser.add_argument("--is_floor", "--floor", dest="is_floor",
+                        action="store_true", default=False)
+    parser.add_argument("--sel_linenum", type=int, default=None,
+                        help="target number of selected rows "
+                             "(reference interface; caps the output)")
     parser.add_argument("--fill", action="store_true", default=False,
                         help="top up with unselected rows to reach the target total")
     parser.add_argument("--seed", type=int, default=1234)
@@ -67,6 +71,10 @@ def main():
     target_counts = count_kmers(args.kmer_feafile)
     total = sum(target_counts.values())
     ratios = {k: v / total for k, v in target_counts.items()}
+    if args.sel_linenum is not None:
+        # reference: --sel_linenum overrides the target total, ratios unchanged
+        # (balance_samples_of_kmer_in_feature_file.py:145-146)
+        total = args.sel_linenum
     k2l = kmer2lines(args.feafile)
     selected, unselected = select_lines(k2l, ratios, total, args.random_frac,
                                         args.is_floor)

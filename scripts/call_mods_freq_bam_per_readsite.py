@@ -44,6 +44,14 @@ def main():
     parser.add_argument("--no_comb", action="store_true", default=False)
     parser.add_argument("--refsites_only", action="store_true", default=False)
     parser.add_argument("--hap_tag", type=str, default="HP")
+    parser.add_argument("--contigs", type=str, default=None,
+                        help="comma-separated contigs to keep")
+    parser.add_argument("--prob_cf", type=float, default=0.0,
+                        help="skip calls with |p1-p0| < prob_cf")
+    parser.add_argument("--chunk_len", type=int, default=500000,
+                        help="[compat] linear scan here")
+    parser.add_argument("--threads", type=int, default=1,
+                        help="[compat] linear scan here")
     parser.add_argument("--sitelist", action="store_true", default=False,
                         help="emit compact per-site rows (chrom, pos, strand, "
                              "coverage, comma-joined probs) instead of the "
@@ -82,6 +90,8 @@ def main():
         contig = refnames[rec.ref_id]
         if contig not in dnacontigs:
             continue
+        if args.contigs is not None and contig not in set(args.contigs.split(",")):
+            continue
         modpos, modprobs = _moddict_arrays(rec, "C", "m")
         if len(modpos) == 0:
             continue
@@ -91,6 +101,8 @@ def main():
             if q_pos not in moddict:
                 continue
             prob = moddict[q_pos]
+            if abs(prob - (1 - prob)) < args.prob_cf:
+                continue
             if rec.is_reverse:
                 pos, strand = (r_pos - 1, "+") if combine else (r_pos, "-")
                 if combine and pos < 0:

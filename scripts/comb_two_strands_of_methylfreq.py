@@ -92,10 +92,10 @@ def combine_bismark_cgreport(path):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--report_fp", type=str, required=True)
+    parser.add_argument("--report_fp", "--freq_file", dest="report_fp", type=str, required=True)
     parser.add_argument("--format", type=str, default="freqtxt",
                         choices=["freqtxt", "bed", "bismark_cgreport"])
-    parser.add_argument("--wfile", type=str, default=None)
+    parser.add_argument("--wfile", "--out", dest="wfile", type=str, default=None)
     args = parser.parse_args()
 
     fn = {"freqtxt": combine_freqtxt, "bed": combine_bed,

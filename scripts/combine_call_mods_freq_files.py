@@ -27,12 +27,28 @@ def read_one(path):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--freqfile", "-i", type=str, action="append", required=True)
+    parser.add_argument("--freqfile", "-i", type=str, action="append", default=None)
+    parser.add_argument("--modspath", type=str, default=None,
+                        help="directory of freq files to combine (reference "
+                             "interface); filtered by --file_uid when given")
+    parser.add_argument("--file_uid", type=str, default=None,
+                        help="only combine files whose name contains this uid")
     parser.add_argument("--wfile", "-o", type=str, required=True)
     parser.add_argument("--sort", action="store_true", default=False)
     parser.add_argument("--bed", action="store_true", default=False,
                         help="write bedMethyl instead of freq.txt")
     args = parser.parse_args()
+    if args.freqfile is None:
+        if args.modspath is None:
+            parser.error("provide --freqfile/-i or --modspath")
+        import os as _os
+
+        args.freqfile = sorted(
+            _os.path.join(args.modspath, f) for f in _os.listdir(args.modspath)
+            if _os.path.isfile(_os.path.join(args.modspath, f))
+            and (args.file_uid is None or args.file_uid in f))
+        if not args.freqfile:
+            parser.error("no files matched in --modspath")
 
     combined = {}
     for path in args.freqfile:

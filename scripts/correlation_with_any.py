@@ -26,12 +26,16 @@ def _read_any(path, contig_prefix, contig_names, cov_cf):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--file_a", type=str, required=True)
-    parser.add_argument("--file_b", type=str, required=True, action="append")
+    parser.add_argument("--file_a", "--tgs_file", dest="file_a", type=str,
+                        required=True)
+    parser.add_argument("--file_b", "--cmp_file", dest="file_b", type=str,
+                        required=True, action="append")
     parser.add_argument("--contig_prefix", type=str, default=None)
     parser.add_argument("--contig_names", type=str, default=None)
-    parser.add_argument("--cov_cf_a", type=int, default=5)
-    parser.add_argument("--cov_cf_b", type=int, default=5)
+    parser.add_argument("--cov_cf_a", "--cov_cf", dest="cov_cf_a", type=int,
+                        default=5)
+    parser.add_argument("--cov_cf_b", "--cov_cf_cmp", dest="cov_cf_b", type=int,
+                        default=5)
     args = parser.parse_args()
 
     a = _read_any(args.file_a, args.contig_prefix, args.contig_names, args.cov_cf_a)

@@ -11,13 +11,18 @@ from correlation_with_any import _read_any
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--file_a", type=str, required=True)
-    parser.add_argument("--file_b", type=str, required=True)
-    parser.add_argument("--output", "-o", type=str, required=True)
+    parser.add_argument("--file_a", "--targetfile", dest="file_a", type=str,
+                        required=True)
+    parser.add_argument("--file_b", "--queryfile", dest="file_b", type=str,
+                        required=True)
+    parser.add_argument("--output", "-o", "--wfile", dest="output", type=str,
+                        required=True)
     parser.add_argument("--contig_prefix", type=str, default=None)
     parser.add_argument("--contig_names", type=str, default=None)
-    parser.add_argument("--cov_cf_a", type=int, default=5)
-    parser.add_argument("--cov_cf_b", type=int, default=5)
+    parser.add_argument("--cov_cf_a", "--covcf_t", dest="cov_cf_a", type=int,
+                        default=5)
+    parser.add_argument("--cov_cf_b", "--covcf", dest="cov_cf_b", type=int,
+                        default=5)
     args = parser.parse_args()
 
     a = _read_any(args.file_a, args.contig_prefix, args.contig_names, args.cov_cf_a)

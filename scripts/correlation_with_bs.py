@@ -59,11 +59,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--bs_file", type=str, required=True,
                         help="BS-seq bedMethyl truth")
-    parser.add_argument("--smrt_file", type=str, required=True, action="append",
+    parser.add_argument("--smrt_file", "--tgs_file", dest="smrt_file", type=str,
+                        required=True, action="append",
                         help="ccsmeth-tpu freq.txt or bedMethyl; repeatable")
     parser.add_argument("--contig_prefix", type=str, default=None)
     parser.add_argument("--contig_names", type=str, default=None)
-    parser.add_argument("--bs_cov_cf", type=int, default=5)
+    parser.add_argument("--bs_cov_cf", "--cov_cf_bs", dest="bs_cov_cf", type=int,
+                        default=5)
     parser.add_argument("--cov_cf", type=int, default=5)
     args = parser.parse_args()
 

@@ -31,6 +31,32 @@ def get_sampleids(path):
     return ids
 
 
+def sample_sites_ont(filename, is_methylated, probcf, sampleids=None):
+    """deepsignal-series per-read call file (reference eval_at_readlevel.py:76-101):
+    no depth column; sampleid is the full first-6-column tuple, no dedup."""
+    all_crs = []
+    skip_cnt = cnt = 0
+    with open(filename) as rf:
+        for line in rf:
+            cnt += 1
+            words = line.strip().split("\t")
+            sampid = "\t".join(words[:6])
+            if sampleids is not None and sampid not in sampleids:
+                skip_cnt += 1
+                continue
+            prob0, prob1 = float(words[6]), float(words[7])
+            if abs(prob0 - prob1) < probcf:
+                skip_cnt += 1
+                continue
+            all_crs.append(CallRecord(words[0], int(words[1]), words[2], "-", -1,
+                                      -1, prob0, prob1, int(words[8]),
+                                      is_methylated))
+    print("there are {} cpg candidates totally, {} cpgs kept, {} cpgs left".format(
+        cnt, len(all_crs), skip_cnt))
+    random.shuffle(all_crs)
+    return all_crs
+
+
 def sample_sites(filename, is_methylated, depthcf, probcf, sampleids=None,
                  dstrand=False):
     all_crs = []
@@ -118,6 +144,9 @@ def main():
     parser.add_argument("--sampleids_file_m", type=str, default=None)
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--dstrand", action="store_true", default=False)
+    parser.add_argument("--ont", action="store_true", default=False,
+                        help="input is deepsignal-series per-read calls "
+                             "(prob columns shifted by one)")
     args = parser.parse_args()
 
     random.seed(args.seed)
@@ -130,10 +159,16 @@ def main():
                  "depth_cutoff\tprob_cf\tnum_rounds\n")
         for depth_cf in args.depth_cf:
             for prob_cf in args.prob_cf:
-                um = sample_sites(args.unmethylated, False, int(depth_cf),
-                                  float(prob_cf), ids_u, args.dstrand)
-                me = sample_sites(args.methylated, True, int(depth_cf),
-                                  float(prob_cf), ids_m, args.dstrand)
+                if args.ont:
+                    um = sample_sites_ont(args.unmethylated, False,
+                                          float(prob_cf), ids_u)
+                    me = sample_sites_ont(args.methylated, True,
+                                          float(prob_cf), ids_m)
+                else:
+                    um = sample_sites(args.unmethylated, False, int(depth_cf),
+                                      float(prob_cf), ids_u, args.dstrand)
+                    me = sample_sites(args.methylated, True, int(depth_cf),
+                                      float(prob_cf), ids_m, args.dstrand)
                 for site_num in NUM_SITES:
                     num_rounds = args.round
                     if site_num >= len(me) and site_num >= len(um):

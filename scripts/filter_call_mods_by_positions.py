@@ -10,11 +10,11 @@ import gzip
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--input", "-i", type=str, required=True,
+    parser.add_argument("--input", "-i", "--cm_path", dest="input", type=str, required=True,
                         help="per_readsite tsv(.gz)")
     parser.add_argument("--pos_fp", "-p", type=str, required=True,
                         help="position file: chrom<TAB>pos per line")
-    parser.add_argument("--output", "-o", type=str, required=True)
+    parser.add_argument("--output", "-o", "--wfile", dest="output", type=str, required=True)
     parser.add_argument("--header", action="store_true", default=False,
                         help="position file has a header line")
     args = parser.parse_args()

@@ -11,7 +11,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--input", "-i", type=str, required=True,
                         help="bedMethyl or freq.txt file")
-    parser.add_argument("--pos_fp", "-p", type=str, required=True,
+    parser.add_argument("--pos_fp", "-p", "--posfile", dest="pos_fp", type=str, required=True,
                         help="position file: chrom<TAB>pos per line")
     parser.add_argument("--output", "-o", type=str, required=True)
     parser.add_argument("--chrom_col", type=int, default=1)

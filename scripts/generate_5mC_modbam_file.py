@@ -38,11 +38,19 @@ def load_calls(per_readsite):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--per_readsite", "-i", type=str, required=True)
-    parser.add_argument("--bam", "-b", type=str, required=True)
+    parser.add_argument("--bam", "-b", "--modbam", dest="bam", type=str,
+                        required=True)
     parser.add_argument("--output", "-o", type=str, default=None)
     parser.add_argument("--rm_pulse", action="store_true", default=True)
     parser.add_argument("--keep_pulse", dest="rm_pulse", action="store_false")
     parser.add_argument("--no_sort", action="store_true", default=False)
+    parser.add_argument("--mode", type=str, default="align",
+                        choices=["align", "denovo"],
+                        help="[compat] per_readsite coordinate space")
+    parser.add_argument("--threads", type=int, default=1,
+                        help="[compat] single linear pass here")
+    parser.add_argument("--batch_size", type=int, default=100,
+                        help="[compat] streaming here")
     args = parser.parse_args()
 
     calls = load_calls(args.per_readsite)

@@ -25,13 +25,29 @@ def main():
     parser.add_argument("--input_path", "-i", action="append", type=str,
                         required=True, help="phased per_readsite tsv; repeatable "
                                             "(e.g. -i calls.hp1.tsv -i calls.hp2.tsv)")
-    parser.add_argument("--result_prefix", "-o", type=str, required=True)
+    parser.add_argument("--result_prefix", "-o", "--result_file",
+                        dest="result_prefix", type=str, required=True)
+    parser.add_argument("--file_uid", type=str, default=None,
+                        help="only use input files whose name contains this uid")
     parser.add_argument("--prob_cf", type=float, default=0.0)
     parser.add_argument("--rm_1strand", action="store_true", default=False)
     parser.add_argument("--bed", action="store_true", default=False)
     parser.add_argument("--sort", action="store_true", default=False)
     parser.add_argument("--gzip", action="store_true", default=False)
     args = parser.parse_args()
+    # reference interface: an --input_path may be a directory; --file_uid filters
+    resolved = []
+    for ip in args.input_path:
+        if os.path.isdir(ip):
+            resolved.extend(sorted(
+                os.path.join(ip, f) for f in os.listdir(ip)
+                if os.path.isfile(os.path.join(ip, f))
+                and (args.file_uid is None or args.file_uid in f)))
+        elif args.file_uid is None or args.file_uid in os.path.basename(ip):
+            resolved.append(ip)
+    if not resolved:
+        parser.error("no input files after --file_uid filtering")
+    args.input_path = resolved
 
     for path in args.input_path:
         base = os.path.basename(path)

@@ -77,6 +77,9 @@ def main():
     parser.add_argument("--mapq", type=int, default=20)
     parser.add_argument("--hap_tag", type=str, default="HP")
     parser.add_argument("--all_contigs", action="store_true", default=False)
+    parser.add_argument("--id", type=str, default=None,
+                        help="uid inserted into output filenames "
+                             "(reference interface)")
     args = parser.parse_args()
 
     if args.bam is not None:
@@ -90,9 +93,10 @@ def main():
     fname, fext = os.path.splitext(args.methylcall)
     if fext == ".gz":
         fname, fext = os.path.splitext(fname)
-    outs = {1: open(fname + ".hp1" + fext, "w"),
-            2: open(fname + ".hp2" + fext, "w"),
-            0: open(fname + ".unphased" + fext, "w")}
+    uid = "." + args.id if args.id else ""
+    outs = {1: open(fname + uid + ".hp1" + fext, "w"),
+            2: open(fname + uid + ".hp2" + fext, "w"),
+            0: open(fname + uid + ".unphased" + fext, "w")}
     opener = gzip.open if args.methylcall.endswith(".gz") else open
     counts = {0: 0, 1: 0, 2: 0}
     with opener(args.methylcall, "rt") as rf:

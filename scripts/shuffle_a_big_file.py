@@ -13,16 +13,33 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--fp", type=str, required=True)
     parser.add_argument("--wfp", type=str, required=True)
-    parser.add_argument("--lines_per_chunk", type=int, default=2000000)
+    parser.add_argument("--lines_per_chunk", "--num_lines_shuffle",
+                        dest="lines_per_chunk", type=int, default=2000000)
+    parser.add_argument("--num_samples_per_file", type=int, default=None,
+                        help="take at most N lines (reference interface)")
+    parser.add_argument("--header", type=str, default="no",
+                        help="yes/no: first line is a header")
+    parser.add_argument("--temp_dir", type=str, default=None,
+                        help="directory for shuffle chunk temp files")
     parser.add_argument("--seed", type=int, default=1234)
     args = parser.parse_args()
 
     random.seed(args.seed)
-    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(os.path.abspath(args.wfp)) or ".")
+    tmpdir = tempfile.mkdtemp(
+        dir=args.temp_dir or os.path.dirname(os.path.abspath(args.wfp)) or ".")
+    has_header = args.header.lower() in ("yes", "true", "1")
+    header_line = None
+    cap = args.num_samples_per_file
+    taken = 0
     chunk_files = []
     chunk = []
     with open(args.fp) as rf:
+        if has_header:
+            header_line = rf.readline()
         for line in rf:
+            if cap is not None and taken >= cap:
+                break
+            taken += 1
             chunk.append(line)
             if len(chunk) >= args.lines_per_chunk:
                 random.shuffle(chunk)
@@ -33,6 +50,8 @@ def main():
                 chunk = []
     random.shuffle(chunk)
     with open(args.wfp, "w") as wf:
+        if header_line is not None:
+            wf.write(header_line)
         if not chunk_files:
             wf.writelines(chunk)
         else:

@@ -22,14 +22,58 @@ def _get_holes(path):
     return holes
 
 
+def _random_split(args):
+    """Reference mode: shuffle hole ids with --seed; first round(n*ratio) holes
+    land in part1 (split_subreadsbam_by_holeids.py)."""
+    import random
+
+    reader = BamReader(args.bam)
+    holeids = set()
+    for rec in reader:
+        holeids.add(rec.qname.split("/")[1] if "/" in rec.qname else rec.qname)
+    reader.close()
+    ids = sorted(holeids)
+    random.seed(args.seed)
+    random.shuffle(ids)
+    part1 = set(ids[: round(len(ids) * args.ratio)])
+    prefix = args.out_prefix or os.path.splitext(os.path.abspath(args.bam))[0]
+    out1 = prefix + ".part1_" + str(args.ratio) + ".bam"
+    out2 = prefix + ".part2_" + str(1 - args.ratio) + ".bam"
+    reader = BamReader(args.bam)
+    w1 = BamWriter(out1, reader.header)
+    w2 = BamWriter(out2, reader.header)
+    n1 = n2 = 0
+    for rec in reader:
+        zmw = rec.qname.split("/")[1] if "/" in rec.qname else rec.qname
+        if zmw in part1:
+            w1.write(rec)
+            n1 += 1
+        else:
+            w2.write(rec)
+            n2 += 1
+    w1.close(); w2.close(); reader.close()
+    print("part1 {} reads -> {}, part2 {} reads -> {}".format(n1, out1, n2, out2))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--bam", "-i", type=str, required=True)
-    parser.add_argument("--holeids", type=str, required=True)
-    parser.add_argument("--out_selected", type=str, required=True)
+    parser.add_argument("--holeids", type=str, default=None,
+                        help="holeid list; omit to random-split by --ratio/--seed")
+    parser.add_argument("--out_selected", type=str, default=None)
     parser.add_argument("--out_rest", type=str, default=None)
+    parser.add_argument("--out_prefix", type=str, default=None)
+    parser.add_argument("--ratio", type=float, default=0.5)
+    parser.add_argument("--seed", type=int, default=111)
+    parser.add_argument("--path_to_samtools", type=str, default=None,
+                        help="[IGNORED] BAM IO is first-party")
     args = parser.parse_args()
 
+    if args.holeids is None:
+        _random_split(args)
+        return
+    if args.out_selected is None:
+        parser.error("--out_selected is required with --holeids")
     holes = _get_holes(args.holeids)
     reader = BamReader(args.bam)
     wsel = BamWriter(args.out_selected, reader.header)

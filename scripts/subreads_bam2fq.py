@@ -16,7 +16,7 @@ from ccsmeth_tpu.wrappers.align_hifi import bam2fastq_stream  # noqa: E402
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--input", "-i", type=str, required=True,
+    parser.add_argument("--input", "-i", "--subreads", dest="input", type=str, required=True,
                         help="bam/sam input")
     parser.add_argument("--output", "-o", type=str, default=None,
                         help="fastq output; default stdout")

@@ -21,7 +21,9 @@ def _cfg(args):
         return AggrConfig(seq_len=args.seq_len, num_layers=args.layer_rnn,
                           hidden_size=args.hid_rnn, model_type=args.model_type)
     if args.model_type == "transencoder2s":
-        return TransEncConfig(seq_len=args.seq_len)
+        return TransEncConfig(seq_len=args.seq_len, num_layers=args.layer_tfe,
+                              d_model=args.d_model_tfe, dim_ff=args.nhid_tfe,
+                              nhead=args.nhead_tfe, num_classes=args.class_num)
     return AttRNNConfig(seq_len=args.seq_len, num_layers=args.layer_rnn,
                         hidden_size=args.hid_rnn, model_type=args.model_type)
 
@@ -37,6 +39,18 @@ def main():
     parser.add_argument("--seq_len", type=int, default=21)
     parser.add_argument("--layer_rnn", type=int, default=3)
     parser.add_argument("--hid_rnn", type=int, default=256)
+    parser.add_argument("--class_num", type=int, default=2)
+    parser.add_argument("--dropout_rate", type=float, default=0)
+    parser.add_argument("--is_stds", type=str, default="no")
+    parser.add_argument("--n_vocab", type=int, default=16,
+                        help="[compat] vocab size (fixed by the base alphabet)")
+    parser.add_argument("--n_embed", type=int, default=4,
+                        help="[compat] embedding size (fixed per model family)")
+    parser.add_argument("--layer_tfe", type=int, default=6,
+                        help="transformer encoder layers (transencoder2s)")
+    parser.add_argument("--d_model_tfe", type=int, default=256)
+    parser.add_argument("--nhid_tfe", type=int, default=512)
+    parser.add_argument("--nhead_tfe", type=int, default=4)
     parser.add_argument("--output", "-o", type=str, default=None,
                         help="write converted .npz here (torch input only)")
     args = parser.parse_args()
