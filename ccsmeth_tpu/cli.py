@@ -184,7 +184,8 @@ def main_call_freqb(args):
         cov_cf=args.cov_cf, only_close=args.only_close, discrete=args.discrete,
         tseed=args.tseed, bed=args.bed, sort=args.sort, gzip=args.gzip,
         threads=args.threads, num_processes=args.num_processes,
-        process_id=args.process_id))
+        process_id=args.process_id,
+        dist_coordinator=getattr(args, "dist_coordinator", None)))
 
 
 def _train_cfg(args):
@@ -424,11 +425,17 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--tseed", type=int, default=1234)
     gp = p.add_argument_group("SCALE-OUT")
     gp.add_argument("--num_processes", type=int, default=1,
-                    help="share-nothing scale-out: total processes splitting the "
-                         "genome chunk list; run one ccsmeth-tpu call_freqb per "
-                         "process with a distinct -o, then concatenate/merge")
+                    help="scale-out process count. Without --dist_coordinator: "
+                         "share-nothing — each process owns a slice of the "
+                         "genome chunk list; run one call_freqb per process "
+                         "with a distinct -o, then concatenate/merge")
     gp.add_argument("--process_id", type=int, default=0,
                     help="this process's rank in [0, num_processes)")
+    gp.add_argument("--dist_coordinator", type=str, default=None,
+                    help="host:port for jax.distributed: processes form one "
+                         "device mesh, split the read stream by qname hash, "
+                         "psum-merge per-site counts over ICI/DCN, and rank 0 "
+                         "writes the single merged output")
     p.set_defaults(func=main_call_freqb)
 
     # extract -----------------------------------------------------------------

@@ -233,10 +233,18 @@ def apply_attrnn(params: dict, cfg: AttRNNConfig, feats: dict,
     # run both strands through the shared RNN in ONE call (batch-stacked)
     both = jnp.concatenate([out1_in, out2_in], axis=0)
     nl2 = cfg.num_layers * 2
-    if rnn_backend == "pallas":
+    if rnn_backend in ("pallas", "pallas_layer"):
         if cfg.rnn_cell not in ("gru", "lstm") or h0 is not None or h0_2 is not None:
             raise ValueError("pallas backend: gru/lstm with zero h0 only")
-        if train:
+        if rnn_backend == "pallas_layer" and not train:
+            # per-layer fused kernel (one pallas_call per layer) — kept callable
+            # for on-device numerics gating and kernel ablations (bench.py)
+            from ..ops.bigru_pallas import birnn_apply_pallas
+
+            outs, h_n = birnn_apply_pallas(params["rnn"], both,
+                                           compute_dtype=compute_dtype,
+                                           cell=cfg.rnn_cell)
+        elif train:
             # differentiable fused kernels (custom VJP) + inter-layer dropout
             from ..ops.bigru_pallas_vjp import birnn_apply_pallas_trainable
 

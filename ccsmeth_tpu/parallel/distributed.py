@@ -20,10 +20,11 @@ jax.distributed.initialize() bootstraps the multi-host runtime
 
 from __future__ import annotations
 
+import functools
+
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 
@@ -47,42 +48,48 @@ def owns_read(qname: str, process_id: int, num_processes: int) -> bool:
     return zlib.crc32(qname.encode()) % num_processes == process_id
 
 
-def psum_site_counts(local_counts: np.ndarray, mesh: Mesh | None = None
-                     ) -> np.ndarray:
-    """All-reduce dense per-site count tensors over the 'data' mesh axis.
-
-    local_counts: (n_sites, k) float32 — each device/host contributes the counts
-    of sites it owns and ZEROS elsewhere; the psum reconstitutes the global table
-    identically on every host.
-    """
-    if mesh is None:
-        from .mesh import data_mesh
-
-        mesh = data_mesh()
-    if mesh.devices.size == 1:
-        return np.asarray(local_counts)
-
+@functools.lru_cache(maxsize=4)
+def _psum_merge_fn(mesh: Mesh):
     @jax.jit
     def merge(x):
         return shard_map(lambda v: jax.lax.psum(v, "data"), mesh=mesh,
                          in_specs=P("data"), out_specs=P("data"))(x)
 
-    n = local_counts.shape[0]
-    n_dev = mesh.devices.size
-    pad = (-n) % n_dev
-    if pad:
-        local_counts = np.pad(local_counts, ((0, pad), (0, 0)))
-    out = np.asarray(merge(jnp.asarray(local_counts)))
-    return out[:n]
+    return merge
 
 
-def merge_region_accumulators(per_host_tables: list[dict]) -> dict:
-    """Host-side merge of disjoint {refpos: [(prob, hap)]} tables (used when
-    accumulators travel as python objects rather than dense tensors). Ownership
-    disjointness makes this a plain union; overlapping keys concatenate, keeping
-    determinism because region assignment is disjoint by construction."""
-    out: dict = {}
-    for table in per_host_tables:
-        for pos, vals in table.items():
-            out.setdefault(pos, []).extend(vals)
-    return out
+def psum_site_counts(local_counts: np.ndarray, mesh: Mesh | None = None
+                     ) -> np.ndarray:
+    """All-reduce one per-PROCESS partial per-site count table over the mesh.
+
+    COLLECTIVE: every process calls this with its own (n_sites, k) float32
+    partial table (aligned on a shared site index, zeros at sites it did not
+    see); returns the (n_sites, k) global SUM, identical on every process.
+    This is the TPU replacement for the reference's share-nothing frequency
+    workers (/root/reference/ccsmeth/call_mods_freq_bam.py:597-677) and for
+    `reduce_mean` (train_multigpu.py:46-50), riding ICI/DCN instead of NCCL.
+
+    Multi-process-correct by construction: the global (world*n, k) array is
+    assembled with jax.make_array_from_process_local_data — each process
+    supplies only its addressable shards (its partial in the first local-device
+    shard, zeros in the rest), the same pattern as the training loop's global
+    batch assembly (training/train.py to_global) — then one psum over the
+    'data' mesh axis reconstitutes the summed table on every shard.
+    """
+    if mesh is None:
+        from .mesh import data_mesh
+
+        mesh = data_mesh()
+    local_counts = np.ascontiguousarray(local_counts, np.float32)
+    world = mesh.devices.size
+    if world == 1:
+        return local_counts
+    n, k = local_counts.shape
+    n_local = world // max(jax.process_count(), 1)
+    local_block = np.zeros((n_local * n, k), np.float32)
+    local_block[:n] = local_counts
+    sharding = NamedSharding(mesh, P("data"))
+    global_arr = jax.make_array_from_process_local_data(sharding, local_block,
+                                                        (world * n, k))
+    merged = _psum_merge_fn(mesh)(global_arr)
+    return np.asarray(merged.addressable_shards[0].data)

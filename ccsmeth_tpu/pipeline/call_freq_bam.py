@@ -84,12 +84,18 @@ class FreqBamConfig:
     sort: bool = False
     gzip: bool = False
     threads: int = 5
-    # share-nothing multi-process scale-out: each process owns a disjoint
-    # round-robin slice of the genome chunk list (parallel/distributed.py) and
-    # writes its own output prefix; concatenate/merge shards afterwards
-    # (scripts/combine_call_mods_freq_files.py)
+    # multi-process scale-out. Without --dist_coordinator: share-nothing — each
+    # process owns a disjoint round-robin slice of the genome chunk list
+    # (parallel/distributed.py) and writes its own output prefix; concatenate
+    # shards afterwards (scripts/combine_call_mods_freq_files.py). With
+    # --dist_coordinator: collective — processes form one jax.distributed
+    # runtime, split the READ stream by stable qname hash, psum-merge per-chunk
+    # per-site count/histogram tensors over the 'data' mesh axis, and rank 0
+    # writes the single merged output (BASELINE.json north star; replaces the
+    # reference's share-nothing freq workers, call_mods_freq_bam.py:597-677)
     num_processes: int = 1
     process_id: int = 0
+    dist_coordinator: str | None = None
 
 
 # ---------------------------------------------------------------------------------------
@@ -132,6 +138,20 @@ def get_reference_chunks(dnacontigs: dict[str, str], contig_str: str | None,
 # ---------------------------------------------------------------------------------------
 
 
+def cal_modfreq_from_counts(raw, flt, mod, no_amb_cov=False):
+    """Count-mode (cov, met, freq) from the three ADDITIVE per-site counts
+    (raw calls, calls passing prob_cf, modified calls among those) —
+    call_mods_freq_bam.py:200-217 semantics reformulated over counts so partial
+    tables from different hosts merge by summation (psum)."""
+    modfreq = mod / float(flt) if flt > 0 else 0.0
+    if no_amb_cov:
+        return flt, mod, modfreq
+    met = mod
+    if flt != raw:
+        met = np.round(raw * modfreq, 2)
+    return raw, met, modfreq
+
+
 def cal_modfreq_count_mode(modprobs, prob_cf=0.0, no_amb_cov=False):
     cnt_all_filtered, cnt_mod = 0, 0
     for p in modprobs:
@@ -140,12 +160,8 @@ def cal_modfreq_count_mode(modprobs, prob_cf=0.0, no_amb_cov=False):
         cnt_all_filtered += 1
         if p > 0.5:
             cnt_mod += 1
-    modfreq = cnt_mod / float(cnt_all_filtered) if cnt_all_filtered > 0 else 0.0
-    if no_amb_cov:
-        return cnt_all_filtered, cnt_mod, modfreq
-    if cnt_all_filtered != len(modprobs):
-        cnt_mod = np.round(len(modprobs) * modfreq, 2)
-    return len(modprobs), cnt_mod, modfreq
+    return cal_modfreq_from_counts(len(modprobs), cnt_all_filtered, cnt_mod,
+                                   no_amb_cov)
 
 
 def get_normalized_histo(probs, cov_cf=4, binsize=20) -> np.ndarray:
@@ -173,7 +189,11 @@ class AggrPredictor:
 
     PAD = 1024
 
-    def __init__(self, cfg: FreqBamConfig):
+    def __init__(self, cfg: FreqBamConfig, local_only: bool = False):
+        """local_only: build the mesh over this process's devices only — used in
+        --dist_coordinator mode, where only rank 0 runs the regressor (on the
+        small merged window batches) while the global mesh is reserved for the
+        collective count merges."""
         import jax
 
         acfg = AggrConfig(seq_len=cfg.seq_len, num_layers=cfg.layer_rnn,
@@ -186,7 +206,7 @@ class AggrPredictor:
             params = load_params(cfg.aggre_model)
         else:
             params = torch_ckpt_to_params(cfg.aggre_model, acfg)
-        mesh = data_mesh()
+        mesh = data_mesh(jax.local_devices() if local_only else None)
         rep = replicated_spec(mesh)
         bsp = shard_batch_spec(mesh)
         params = jax.device_put(params, rep)
@@ -247,64 +267,85 @@ def _aggregate_window_inputs(refposes: list[int], histos: list[np.ndarray],
     return pos_mat, histos_mat
 
 
-def call_modfreq_of_one_region(refpos2modinfo: dict, cfg: FreqBamConfig,
-                               aggr: "AggrPredictor | None"):
+def site_stats_from_modinfo(refpos2modinfo: dict, cfg: FreqBamConfig,
+                            want_hist: bool) -> dict:
+    """{refpos: (counts (3,3) int64, hist (3,binsize) int64 | None)} — the
+    ADDITIVE per-site per-group [all, hp1, hp2] statistics from which both
+    count-mode and aggregate-mode rows are computed: counts = [raw calls,
+    prob_cf-passing calls, modified calls], hist = raw prob histograms
+    (call_mods_freq_bam.py:200-237). Additivity is what lets multi-host
+    partial tables merge with one psum (parallel/distributed.py)."""
+    out = {}
+    for pos, vals in refpos2modinfo.items():
+        counts = np.zeros((3, 3), np.int64)
+        probs: dict[int, list] = {0: [], 1: [], 2: []}
+        for p, hap in vals:
+            groups = (0, hap) if (not cfg.no_hap and hap in (1, 2)) else (0,)
+            for g in groups:
+                counts[g, 0] += 1
+                if abs(p - (1 - p)) >= cfg.prob_cf:
+                    counts[g, 1] += 1
+                    if p > 0.5:
+                        counts[g, 2] += 1
+                if want_hist:
+                    probs[g].append(p)
+        hist = None
+        if want_hist:
+            hist = np.zeros((3, cfg.bin_size), np.int64)
+            for g in range(3):
+                if probs[g]:
+                    hist[g] = np.histogram(probs[g], bins=cfg.bin_size,
+                                           range=[0, 1])[0]
+        out[pos] = (counts, hist)
+    return out
+
+
+def call_modfreq_from_stats(site_stats: dict, cfg: FreqBamConfig,
+                            aggr: "AggrPredictor | None"):
     """-> [(refpos, info_all, info_hp1, info_hp2)] with info=(cov, met, freq);
-    parity with call_mods_freq_bam.py:308-454."""
+    parity with call_mods_freq_bam.py:308-454, computed from the additive
+    per-site stats of `site_stats_from_modinfo` (local or psum-merged)."""
+    all_refposes = sorted(site_stats.keys())
     if cfg.call_mode == "count":
         out = []
-        for refpos in sorted(refpos2modinfo.keys()):
-            total, hp1, hp2 = [], [], []
-            for p, hap in refpos2modinfo[refpos]:
-                total.append(p)
-                if not cfg.no_hap:
-                    if hap == 1:
-                        hp1.append(p)
-                    elif hap == 2:
-                        hp2.append(p)
-            out.append((
-                refpos,
-                cal_modfreq_count_mode(total, cfg.prob_cf, cfg.no_amb_cov) if total else None,
-                cal_modfreq_count_mode(hp1, cfg.prob_cf, cfg.no_amb_cov) if hp1 else None,
-                cal_modfreq_count_mode(hp2, cfg.prob_cf, cfg.no_amb_cov) if hp2 else None,
-            ))
+        for refpos in all_refposes:
+            counts, _hist = site_stats[refpos]
+            infos = []
+            for g in range(3):
+                raw = int(counts[g, 0])
+                infos.append(cal_modfreq_from_counts(
+                    raw, int(counts[g, 1]), int(counts[g, 2]), cfg.no_amb_cov)
+                    if raw else None)
+            out.append((refpos, infos[0], infos[1], infos[2]))
         return out
     if cfg.call_mode != "aggregate":
         raise ValueError("wrong --call_mode")
 
-    all_refposes = sorted(refpos2modinfo.keys())
     result = {rp: [None, None, None] for rp in all_refposes}
-    groups = {0: ([], [], [], []), 1: ([], [], [], []), 2: ([], [], [], [])}
-    # groups[g] = (lowcov_pos, lowcov_infos, highcov_pos, highcov (histo, cov))
-    for refpos in all_refposes:
-        per = {0: [], 1: [], 2: []}
-        for p, hap in refpos2modinfo[refpos]:
-            per[0].append(p)
-            if not cfg.no_hap and hap in (1, 2):
-                per[hap].append(p)
-        for g in (0, 1, 2):
-            mods = per[g]
-            if not mods:
+    for g in range(3):
+        hp_pos, hp_hist, hp_cov = [], [], []
+        for refpos in all_refposes:
+            counts, hist = site_stats[refpos]
+            raw = int(counts[g, 0])
+            if raw == 0:
                 continue
-            lp, li, hp_, hh = groups[g]
-            if len(mods) >= cfg.cov_cf:
-                hp_.append(refpos)
-                hh.append((get_normalized_histo(mods, cfg.cov_cf, cfg.bin_size),
-                           len(mods)))
+            if raw >= cfg.cov_cf:
+                # normalized histogram from the (merged) raw histogram — equals
+                # get_normalized_histo on the full prob list (lines 221-237)
+                h = hist[g]
+                hp_pos.append(refpos)
+                hp_hist.append(np.round(h / np.linalg.norm(h), 6))
+                hp_cov.append(raw)
             else:
-                lp.append(refpos)
-                li.append(cal_modfreq_count_mode(mods, cfg.prob_cf, cfg.no_amb_cov))
-    for g in (0, 1, 2):
-        lp, li, hp_, hh = groups[g]
-        for pos, info in zip(lp, li):
-            result[pos][g] = info
-        if hp_:
+                result[refpos][g] = cal_modfreq_from_counts(
+                    raw, int(counts[g, 1]), int(counts[g, 2]), cfg.no_amb_cov)
+        if hp_pos:
             pos_mat, histos_mat = _aggregate_window_inputs(
-                hp_, [h for h, _c in hh], cfg.seq_len, cfg.only_close)
+                hp_pos, hp_hist, cfg.seq_len, cfg.only_close)
             probs = aggr.predict(pos_mat.astype(np.float32),
                                  histos_mat.astype(np.float32))
-            for k, pos in enumerate(hp_):
-                cov = hh[k][1]
+            for k, pos in enumerate(hp_pos):
+                cov = hp_cov[k]
                 mp = probs[k]
                 if cfg.discrete:
                     d_cnt, _, d_mp = discretize_score(mp, cov)
@@ -312,6 +353,14 @@ def call_modfreq_of_one_region(refpos2modinfo: dict, cfg: FreqBamConfig,
                 else:
                     result[pos][g] = (cov, round(cov * mp, 2), mp)
     return [(rp, result[rp][0], result[rp][1], result[rp][2]) for rp in all_refposes]
+
+
+def call_modfreq_of_one_region(refpos2modinfo: dict, cfg: FreqBamConfig,
+                               aggr: "AggrPredictor | None"):
+    """Single-host region path: per-site stats then shared row math."""
+    stats = site_stats_from_modinfo(refpos2modinfo, cfg,
+                                    want_hist=cfg.call_mode == "aggregate")
+    return call_modfreq_from_stats(stats, cfg, aggr)
 
 
 # ---------------------------------------------------------------------------------------
@@ -358,7 +407,8 @@ class _ContigAcc:
 
 def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
                         motifs_filter,
-                        owned_regions: dict[str, list] | None = None
+                        owned_regions: dict[str, list] | None = None,
+                        read_shard: tuple[int, int] | None = None
                         ) -> dict[str, _ContigAcc]:
     """One pass over the BAM: filters + MM/ML decode + aligned-pairs walk
     (parity with _readmods_to_bed_of_one_region's per-read block, lines 488-540).
@@ -367,7 +417,14 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
     span overlaps no owned interval are skipped (multi-process partitioning;
     site emission is additionally gated by the owned chunk loop, so a straddling
     read contributing a few out-of-range sites costs memory, never correctness).
+
+    read_shard: optional (process_id, num_processes) — keep only reads this
+    process owns by stable qname hash (collective --dist_coordinator mode:
+    every process sees every site partially; the psum merge reconstitutes the
+    global per-site table).
     """
+    if read_shard is not None:
+        from ..parallel.distributed import owns_read
     modbase = "C" if cfg.modtype == "5mC" else "-"
     modification = "m"
     accs: dict[str, _ContigAcc] = {}
@@ -399,6 +456,9 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
         if rec.mapq < cfg.mapq:
             continue
         if compute_pct_identity(rec.get_cigar_stats()) < cfg.identity:
+            continue
+        if read_shard is not None and not owns_read(rec.qname, read_shard[0],
+                                                    read_shard[1]):
             continue
         if owned_regions is not None:
             spans = owned_regions.get(contig)
@@ -450,6 +510,96 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
 # ---------------------------------------------------------------------------------------
 
 
+def _chunk_site_tables(accs: dict, sorted_acc: dict, ref_name: str,
+                       ref_start: int, ref_end: int, combine: bool):
+    """(fwd_table, rev_table) of {refpos: [(prob, hap)]} for one genome chunk,
+    sliced by searchsorted from the per-contig accumulators; CG combining maps a
+    rev-strand site r onto fwd site r-1 (call_mods_freq_bam.py:547-556)."""
+    acc = accs.get(ref_name)
+    if acc is None:
+        return {}, {}
+    fwd_pos, rev_pos = sorted_acc[ref_name]
+    fs, fe = np.searchsorted(fwd_pos, [ref_start, ref_end])
+    rs, re_ = np.searchsorted(rev_pos, [ref_start, ref_end])
+    refposinfo = {int(p): acc.fwd[int(p)] for p in fwd_pos[fs:fe]}
+    refposinfo_rev = {int(p): acc.rev[int(p)] for p in rev_pos[rs:re_]}
+    if combine:
+        for rp, vals in refposinfo_rev.items():
+            if rp == 0:
+                continue
+            base = refposinfo.get(rp - 1)
+            refposinfo[rp - 1] = ((list(base) + list(vals))
+                                  if base is not None else list(vals))
+        refposinfo_rev = {}
+    return refposinfo, refposinfo_rev
+
+
+def _dist_emit_chunks(cfg: FreqBamConfig, accs: dict, sorted_acc: dict,
+                      ref_chunks: list, combine: bool,
+                      aggr: "AggrPredictor | None", emit_rows) -> None:
+    """Collective per-chunk frequency merge (--dist_coordinator mode).
+
+    Every process packs its PARTIAL per-site stats for each chunk into one dense
+    [max_span, 2 strands, 3 hap-groups, K] float32 tensor (K = 3 counts
+    [+ bin_size histogram bins in aggregate mode]; position-indexed so the
+    representation is identical across processes without exchanging site lists)
+    and all-reduces it with one psum over the 'data' mesh (psum_site_counts);
+    rank 0 turns merged tensors into bedMethyl rows. One up-front presence psum
+    lets all ranks skip empty chunks consistently. Collective-order safety: every
+    rank iterates the same chunk list and issues the same psum sequence.
+    """
+    import jax
+
+    from ..parallel.distributed import psum_site_counts
+    from ..parallel.mesh import data_mesh
+
+    mesh = data_mesh()
+    is_main = jax.process_index() == 0
+    want_hist = cfg.call_mode == "aggregate"
+    K = 3 + (cfg.bin_size if want_hist else 0)
+    # +1: CG-straddle boundary fix can extend a chunk by one base;
+    # +1: combining can land a row at ref_start-1 (index 0)
+    max_span = cfg.chunk_len + 2
+
+    chunk_tables = []
+    presence = np.zeros((len(ref_chunks), 1), np.float32)
+    for i, (contig, s, e) in enumerate(ref_chunks):
+        tables = _chunk_site_tables(accs, sorted_acc, contig, s, e, combine)
+        presence[i, 0] = len(tables[0]) + len(tables[1])
+        chunk_tables.append(tables)
+    active = psum_site_counts(presence, mesh)[:, 0] > 0
+
+    for i, (contig, s, e) in enumerate(ref_chunks):
+        if not active[i]:
+            continue
+        local = np.zeros((max_span, 2, 3, K), np.float32)
+        for strand_idx, table in enumerate(chunk_tables[i]):
+            if not table:
+                continue
+            stats = site_stats_from_modinfo(table, cfg, want_hist)
+            for pos, (counts, hist) in stats.items():
+                idx = pos - s + 1
+                local[idx, strand_idx, :, :3] = counts
+                if want_hist:
+                    local[idx, strand_idx, :, 3:] = hist
+        merged = psum_site_counts(local.reshape(max_span * 6, K), mesh)
+        if not is_main:
+            continue
+        merged = merged.reshape(max_span, 2, 3, K)
+        for strand_idx, strand_char in ((0, "+"), (1, "-")):
+            idxs = np.nonzero(merged[:, strand_idx, 0, 0] > 0)[0]
+            if len(idxs) == 0:
+                continue
+            site_stats = {}
+            for idx in idxs:
+                m = merged[idx, strand_idx]
+                counts = np.rint(m[:, :3]).astype(np.int64)
+                hist = np.rint(m[:, 3:]).astype(np.int64) if want_hist else None
+                site_stats[int(s - 1 + idx)] = (counts, hist)
+            emit_rows(call_modfreq_from_stats(site_stats, cfg, aggr),
+                      contig, strand_char)
+
+
 def _write_one_line(beditem, wf, is_bed):
     ref_name, refpos, strand, cov, met, metprob = beditem
     if is_bed:
@@ -480,12 +630,32 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
         LOGGER.info("[###] --refsites_only/--refsites_all: keeping only reference "
                     "%s sites", motifs_filter)
 
-    aggr = AggrPredictor(cfg) if cfg.call_mode == "aggregate" else None
+    dist = cfg.dist_coordinator is not None and cfg.num_processes > 1
+    if cfg.num_processes > 1 and not 0 <= cfg.process_id < cfg.num_processes:
+        raise ValueError("--process_id must be in [0, num_processes)")
+    is_main = True
+    if dist:
+        import jax
+
+        from ..parallel.distributed import init_multihost
+
+        init_multihost(cfg.dist_coordinator, cfg.num_processes, cfg.process_id)
+        is_main = jax.process_index() == 0
+    aggr = None
+    if cfg.call_mode == "aggregate" and (not dist or is_main):
+        # dist mode: only rank 0 computes rows, on its local devices — the
+        # global mesh carries the collective count merges
+        aggr = AggrPredictor(cfg, local_only=dist)
     ref_chunks = get_reference_chunks(dnacontigs, cfg.contigs, cfg.chunk_len, cfg.motifs)
     owned_regions = None
-    if cfg.num_processes > 1:
-        if not 0 <= cfg.process_id < cfg.num_processes:
-            raise ValueError("--process_id must be in [0, num_processes)")
+    read_shard = None
+    if dist:
+        # collective mode: shard the READ stream; all ranks keep the full chunk
+        # list (they must issue the same psum sequence)
+        read_shard = (cfg.process_id, cfg.num_processes)
+        LOGGER.info("dist process %d/%d: read-sharded scan + psum merge",
+                    cfg.process_id, cfg.num_processes)
+    elif cfg.num_processes > 1:
         from ..parallel.distributed import partition_chunks
 
         ref_chunks = partition_chunks(ref_chunks, cfg.process_id, cfg.num_processes)
@@ -495,7 +665,7 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
         LOGGER.info("process %d/%d owns %d genome chunks", cfg.process_id,
                     cfg.num_processes, len(ref_chunks))
     accs = scan_bam_accumulate(cfg, dnacontigs, set(motifs) if motifs_filter else None,
-                               owned_regions)
+                               owned_regions, read_shard)
 
     # motif filter window params (lines 464-471)
     fwd_s = fwd_e = rev_s = rev_e = None
@@ -511,6 +681,25 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     bed_all: list = []
     bed_hp1: list = []
     bed_hp2: list = []
+
+    def emit_rows(rows, ref_name, strand_char):
+        """Append (cov, met, freq) rows, applying the reference-motif filter
+        (call_mods_freq_bam.py:565-585)."""
+        for refpos, total_info, hp1_info, hp2_info in rows:
+            if mf_set is not None:
+                if strand_char == "+":
+                    motif_seq = dnacontigs[ref_name][(refpos + fwd_s):(refpos + fwd_e)]
+                else:
+                    motif_seq = complement_seq(
+                        dnacontigs[ref_name][(refpos + rev_s):(refpos + rev_e)])
+                if motif_seq not in mf_set:
+                    continue
+            for info, bed in ((total_info, bed_all), (hp1_info, bed_hp1),
+                              (hp2_info, bed_hp2)):
+                if info is not None:
+                    bed.append((ref_name, refpos, strand_char,
+                                info[0], info[1], info[2]))
+
     # sort each contig's site positions ONCE; chunks then slice by searchsorted
     # (the per-chunk dict-comprehension alternative rescans every contig site per
     # chunk: O(sites x chunks), quadratic at genome scale)
@@ -521,52 +710,25 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
         rev_pos = np.fromiter(acc.rev.keys(), np.int64, len(acc.rev))
         rev_pos.sort()
         sorted_acc[contig] = (fwd_pos, rev_pos)
-    for ref_name, ref_start, ref_end in ref_chunks:
-        acc = accs.get(ref_name)
-        if acc is None:
-            continue
-        fwd_pos, rev_pos = sorted_acc[ref_name]
-        fs, fe = np.searchsorted(fwd_pos, [ref_start, ref_end])
-        rs, re_ = np.searchsorted(rev_pos, [ref_start, ref_end])
-        refposinfo = {int(p): acc.fwd[int(p)] for p in fwd_pos[fs:fe]}
-        refposinfo_rev = {int(p): acc.rev[int(p)] for p in rev_pos[rs:re_]}
-        if not refposinfo and not refposinfo_rev:
-            continue
-        combine = cfg.motifs == "CG" and not cfg.no_comb
-        if combine:
-            # rev site r belongs to fwd site r-1 (lines 547-556)
-            for rev_pos, vals in refposinfo_rev.items():
-                if rev_pos == 0:
-                    continue
-                refposinfo.setdefault(rev_pos - 1, []).extend(vals)
-            refposinfo_rev = {}
-        for refpositem in call_modfreq_of_one_region(refposinfo, cfg, aggr):
-            refpos, total_info, hp1_info, hp2_info = refpositem
-            if mf_set is not None:
-                motif_seq = dnacontigs[ref_name][(refpos + fwd_s):(refpos + fwd_e)]
-                if motif_seq not in mf_set:
-                    continue
-            if total_info is not None:
-                bed_all.append((ref_name, refpos, "+", total_info[0], total_info[1], total_info[2]))
-            if hp1_info is not None:
-                bed_hp1.append((ref_name, refpos, "+", hp1_info[0], hp1_info[1], hp1_info[2]))
-            if hp2_info is not None:
-                bed_hp2.append((ref_name, refpos, "+", hp2_info[0], hp2_info[1], hp2_info[2]))
-        if not combine:
-            for refpositem in call_modfreq_of_one_region(refposinfo_rev, cfg, aggr):
-                refpos, total_info, hp1_info, hp2_info = refpositem
-                if mf_set is not None:
-                    motif_seq = complement_seq(
-                        dnacontigs[ref_name][(refpos + rev_s):(refpos + rev_e)])
-                    if motif_seq not in mf_set:
-                        continue
-                if total_info is not None:
-                    bed_all.append((ref_name, refpos, "-", total_info[0], total_info[1], total_info[2]))
-                if hp1_info is not None:
-                    bed_hp1.append((ref_name, refpos, "-", hp1_info[0], hp1_info[1], hp1_info[2]))
-                if hp2_info is not None:
-                    bed_hp2.append((ref_name, refpos, "-", hp2_info[0], hp2_info[1], hp2_info[2]))
+    combine = cfg.motifs == "CG" and not cfg.no_comb
+    if dist:
+        _dist_emit_chunks(cfg, accs, sorted_acc, ref_chunks, combine, aggr,
+                          emit_rows)
+    else:
+        for ref_name, ref_start, ref_end in ref_chunks:
+            refposinfo, refposinfo_rev = _chunk_site_tables(
+                accs, sorted_acc, ref_name, ref_start, ref_end, combine)
+            if refposinfo:
+                emit_rows(call_modfreq_of_one_region(refposinfo, cfg, aggr),
+                          ref_name, "+")
+            if refposinfo_rev:
+                emit_rows(call_modfreq_of_one_region(refposinfo_rev, cfg, aggr),
+                          ref_name, "-")
 
+    if dist and not is_main:
+        LOGGER.info("[main]call_freq_bam rank %d done (rank 0 writes) in %.1f "
+                    "seconds", cfg.process_id, time.time() - t0)
+        return []
     fext = "bed" if cfg.bed else "freq.txt"
     outputs = []
     for tag, items in (("all", bed_all), ("hp1", bed_hp1), ("hp2", bed_hp2)):

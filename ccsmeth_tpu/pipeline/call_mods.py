@@ -148,10 +148,6 @@ def _apply_for(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
         params, cfg, feats, rnn_backend=rnn_backend, compute_dtype=dtype)
 
 
-def _round6(x: np.ndarray) -> np.ndarray:
-    return np.around(x.astype(np.float64), 6)
-
-
 class _Stats:
     def __init__(self):
         self.reads_in = 0

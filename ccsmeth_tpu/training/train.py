@@ -137,11 +137,20 @@ def _init_params(cfg: TrainConfig, model_cfg):
 def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
                     rnn_backend: str = "xla", precision: str = "fp32"):
     """Build the jitted sharded train step: (params, opt_state, feats, labels,
-    valid_mask, rng) -> (params, opt_state, loss)."""
+    valid_mask, rng) -> (params, opt_state, loss).
+
+    The step is shard_mapped over the 'data' mesh axis (classic DDP: each device
+    differentiates its local batch shard, gradients/loss are psum-merged, the
+    optimizer update runs replicated) rather than left to GSPMD propagation —
+    auto-sharding the RNN scan's backward pass resharded the per-timestep weight
+    -gradient accumulators through replication ("[SPMD] Involuntary full
+    rematerialization"); explicit collectives pin the communication to one psum
+    per gradient leaf, the direct analog of the reference's DDP all-reduce
+    (train_multigpu.py:86-94)."""
     if mesh is None:
         mesh = data_mesh()
-    batch_s = shard_batch_spec(mesh)
-    rep = replicated_spec(mesh)
+    from jax.sharding import PartitionSpec as P
+
     apply_ = _apply_fn(model_cfg, rnn_backend, precision)
     class_weights = jnp.array([1.0, pos_weight], jnp.float32)
 
@@ -149,21 +158,39 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
         logits, _probs = apply_(params, model_cfg, feats, dropout_rng=rng, train=True)
         per = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
         w = class_weights[labels] * mask
-        # torch CrossEntropyLoss(weight=..) mean = sum(w_i * l_i) / sum(w_i)
-        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
+        # torch CrossEntropyLoss(weight=..) mean = sum(w_i * l_i) / sum(w_i);
+        # the denominator is the GLOBAL weight sum (w is params-independent, so
+        # it contributes no gradient term)
+        den = jax.lax.psum(jnp.sum(w), "data")
+        return jnp.sum(per * w) / jnp.maximum(den, 1e-9)
 
-    def step(params, opt_state, feats, labels, mask, rng):
+    def shard_step(params, opt_state, feats, labels, mask, rng):
+        # independent dropout masks per shard
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         loss, grads = jax.value_and_grad(loss_fn)(params, feats, labels, mask, rng)
+        loss = jax.lax.psum(loss, "data")
+        grads = jax.lax.psum(grads, "data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    in_shardings = (rep, rep, batch_s, batch_s, batch_s, rep)
-    return jax.jit(step, in_shardings=in_shardings,
-                   out_shardings=(rep, rep, rep)), mesh
+    # check_vma off: the RNN scan's zero h0 carry is device-invariant while the
+    # body output varies with the batch shard, which the static VMA check
+    # rejects; the collectives above are what make the outputs replicated
+    step = jax.shard_map(shard_step, mesh=mesh,
+                         in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
+                         out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(step), mesh
 
 
 def make_eval_step(model_cfg, pos_weight: float, mesh=None):
+    """Eval step returning (loss, pred, counts) where counts is the replicated
+    [n_valid, correct, tp, fp, fn] vector over the GLOBAL batch. Metric counts
+    are reduced on-device so every process sees identical numbers — the
+    checkpoint/early-stop decisions they drive must be identical on all ranks or
+    one rank exits the collective loop while others wait (the reference keeps
+    its early-stop signal global the same way: dist.barrier() + reduce_mean of
+    the valid loss, train_multigpu.py:378-380,413-415)."""
     if mesh is None:
         mesh = data_mesh()
     batch_s = shard_batch_spec(mesh)
@@ -177,10 +204,20 @@ def make_eval_step(model_cfg, pos_weight: float, mesh=None):
         w = class_weights[labels] * mask
         loss = jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1e-9)
         pred = jnp.argmax(probs, axis=1)
-        return loss, pred
+        v = mask > 0
+        pos_p = (pred == 1) & v
+        pos_l = labels == 1
+        counts = jnp.stack([
+            jnp.sum(mask),
+            jnp.sum((pred == labels) & v).astype(jnp.float32),
+            jnp.sum(pos_p & pos_l).astype(jnp.float32),
+            jnp.sum(pos_p & ~pos_l).astype(jnp.float32),
+            jnp.sum((pred == 0) & v & pos_l).astype(jnp.float32),
+        ])
+        return loss, pred, counts
 
     return jax.jit(step, in_shardings=(rep, batch_s, batch_s, batch_s),
-                   out_shardings=(rep, batch_s)), mesh
+                   out_shardings=(rep, batch_s, rep)), mesh
 
 
 def save_train_state(path: str, opt_state, epoch: int) -> None:
@@ -301,7 +338,13 @@ def train(cfg: TrainConfig) -> dict:
     is_main = jax.process_index() == 0
 
     def run_valid(params):
-        vlosses, vl, vp = [], [], []
+        """Global-batch validation: loss and [n, correct, tp, fp, fn] counts are
+        computed on-device over the full sharded batch and come back replicated,
+        so every process derives IDENTICAL metrics — and therefore identical
+        checkpoint/early-stop decisions (divergent decisions would strand the
+        other ranks inside a collective)."""
+        vlosses = []
+        csum = np.zeros(5, np.float64)
         n_vbatch = (len(valid_ds) // (cfg.batch_size * n_proc) if n_proc > 1
                     else None)
         for bi, (feats, labels, n_valid) in enumerate(valid_ds.batches(
@@ -313,23 +356,13 @@ def train(cfg: TrainConfig) -> dict:
             mask = np.zeros(pad_n, np.float32)
             mask[:n_valid] = 1.0
             feats, labels, mask = to_global(feats, labels.astype(np.int32), mask)
-            loss, pred = eval_step(params, feats, labels, mask)
+            loss, _pred, counts = eval_step(params, feats, labels, mask)
             vlosses.append(float(loss))
-            if n_proc == 1:
-                vl.append(np.asarray(labels)[:n_valid])
-                vp.append(np.asarray(pred)[:n_valid])
-            else:
-                # metrics on this host's own shard only (reference rank-local
-                # metrics, train_multigpu.py:390-393)
-                local_pred = np.concatenate(
-                    [np.asarray(sh.data) for sh in pred.addressable_shards])
-                local_lab = np.concatenate(
-                    [np.asarray(sh.data) for sh in labels.addressable_shards])
-                vl.append(local_lab[:n_valid])
-                vp.append(local_pred[:n_valid])
-        labels_all = np.concatenate(vl) if vl else np.empty(0)
-        preds_all = np.concatenate(vp) if vp else np.empty(0)
-        acc, prec, rec = binary_metrics(labels_all, preds_all)
+            csum += np.asarray(counts, np.float64)
+        n, correct, tp, fp, fn = csum
+        acc = correct / n if n else 0.0
+        prec = tp / (tp + fp) if (tp + fp) else 0.0
+        rec = tp / (tp + fn) if (tp + fn) else 0.0
         return float(np.mean(vlosses)) if vlosses else 0.0, acc, prec, rec
 
     stop = False

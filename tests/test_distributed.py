@@ -1,11 +1,12 @@
-"""Multi-host primitives on the virtual 8-device CPU mesh: the psum frequency
-merge must reproduce the single-host frequency table exactly."""
+"""Multi-host primitives on the virtual 8-device CPU mesh. psum_site_counts is
+collective per-PROCESS API — its true 2-process merge semantics are gated by
+tests/test_call_freq_dist.py; here we check the single-process plumbing (the
+partial must round-trip unchanged: the other device shards carry zeros)."""
 
 import jax
 import numpy as np
 
 from ccsmeth_tpu.parallel.distributed import (
-    merge_region_accumulators,
     owns_read,
     partition_chunks,
     psum_site_counts,
@@ -30,33 +31,14 @@ def test_owns_read_partitioning():
     assert all(len(o) > 30 for o in owners)
 
 
-def test_psum_site_counts_equals_serial():
+def test_psum_site_counts_single_process_roundtrip():
     assert jax.device_count() == 8
     mesh = data_mesh()
     rng = np.random.RandomState(0)
-    n_sites = 1000
-    # each "host" (device shard) owns a disjoint site range and zeros elsewhere
-    full = rng.randint(0, 30, size=(n_sites, 2)).astype(np.float32)
-    n_dev = 8
-    local = np.zeros_like(full)
-    # simulate: device d owns sites where site_idx % 8 == d; since psum sums over
-    # the sharded axis, feed a table where each shard-row-block holds only its
-    # owned contributions
-    per_dev = np.zeros((n_dev, n_sites, 2), np.float32)
-    for s in range(n_sites):
-        per_dev[s % n_dev, s] = full[s]
-    stacked = per_dev.reshape(n_dev * n_sites, 2)
-    merged = psum_site_counts(stacked, mesh)
-    # every shard's output block is the global sum
-    out_blocks = merged.reshape(n_dev, n_sites, 2)
-    for d in range(n_dev):
-        np.testing.assert_array_equal(out_blocks[d], full)
-
-
-def test_merge_region_accumulators():
-    t1 = {10: [(0.9, 1)], 20: [(0.1, 0)]}
-    t2 = {30: [(0.5, 2)], 20: [(0.7, 1)]}
-    merged = merge_region_accumulators([t1, t2])
-    assert merged[10] == [(0.9, 1)]
-    assert merged[20] == [(0.1, 0), (0.7, 1)]
-    assert merged[30] == [(0.5, 2)]
+    partial = rng.randint(0, 30, size=(1000, 2)).astype(np.float32)
+    merged = psum_site_counts(partial, mesh)
+    assert merged.shape == partial.shape
+    np.testing.assert_array_equal(merged, partial)
+    # odd row counts must not require divisibility by the device count
+    partial3 = rng.randint(0, 9, size=(17, 5)).astype(np.float32)
+    np.testing.assert_array_equal(psum_site_counts(partial3, mesh), partial3)
