@@ -188,6 +188,8 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
             jax.ShapeDtypeStruct((L, Bp, H), out_dtype),
         ),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_tm, x_tm, wih, bih, whh, bhh)
     return out_f[:, :B], out_b[:, :B]

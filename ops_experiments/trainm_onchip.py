@@ -1,0 +1,87 @@
+"""trainm at production scale on the real chip (VERDICT r1 #8).
+
+Generates separable synthetic training data, runs the production training
+configuration (attbigru2s 3x256, batch 512, fused Pallas VJP backend) for one
+epoch on whatever accelerator jax sees, and reports sustained samples/s for the
+full loop — data loading, host->device transfer, train step, periodic
+validation — not just the jitted step time.
+
+Run ON TPU:  PYTHONPATH=/root/.axon_site:/root/repo python ops_experiments/trainm_onchip.py
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+if os.environ.get("CCS_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+
+def write_feature_tsv(path, n, seed=0, seq_len=21):
+    """Separable synthetic features (same recipe as tests/test_training.py)."""
+    rng = np.random.RandomState(seed)
+    bases = np.array(list("ACGT"))
+    with open(path, "w") as f:
+        for i in range(n):
+            label = i % 2
+            kmer = "".join(rng.choice(bases, seq_len))
+            kmer = kmer[:10] + "CG" + kmer[12:]
+            ipd = rng.randn(seq_len)
+            pw = rng.randn(seq_len)
+            if label:
+                ipd[8:13] += 2.0
+            row = [
+                "chr1", str(1000 + i), "+", "read/{}/ccs".format(i), str(50 + i),
+                kmer, "10", ",".join(str(round(x, 6)) for x in ipd), ".",
+                ",".join(str(round(x, 6)) for x in pw), ".", ".", ".",
+                kmer[::-1], "9",
+                ",".join(str(round(x, 6)) for x in rng.randn(seq_len)),
+                ".", ",".join(str(round(x, 6)) for x in rng.randn(seq_len)),
+                ".", ".", ".", str(label),
+            ]
+            f.write("\t".join(row) + "\n")
+
+
+def main():
+    n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    backend = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+    precision = sys.argv[3] if len(sys.argv) > 3 else "bf16"
+
+    from ccsmeth_tpu.training import TrainConfig, train
+
+    with tempfile.TemporaryDirectory() as td:
+        tr = os.path.join(td, "train.tsv")
+        va = os.path.join(td, "valid.tsv")
+        print("generating {} train rows...".format(n_train), flush=True)
+        write_feature_tsv(tr, n_train, seed=1)
+        write_feature_tsv(va, 2048, seed=2)
+        cfg = TrainConfig(
+            train_file=tr, valid_file=va, model_dir=os.path.join(td, "models"),
+            model_type="attbigru2s", layer_rnn=3, hid_rnn=256, batch_size=512,
+            dropout_rate=0.5, max_epoch_num=1, min_epoch_num=1,
+            step_interval=32, rnn_backend=backend, precision=precision,
+            tseed=42)
+        t0 = time.time()
+        result = train(cfg)
+        wall = time.time() - t0
+        # first step_interval window includes compile; the loop's own LOGGER
+        # lines give per-window times — report the whole-epoch number and the
+        # steady-state estimate (total minus the first window)
+        print(json.dumps({
+            "backend": backend, "precision": precision,
+            "n_train": n_train, "batch": cfg.batch_size,
+            "epoch_wall_s": round(wall, 1),
+            "samples_per_s_incl_compile": round(n_train / wall, 1),
+            "best_acc": round(result["best_accuracy"], 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
