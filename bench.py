@@ -109,6 +109,41 @@ def bench_jax(batch: int = 8192, iters: int = 10, backend: str = "pallas",
     return batch * iters / best
 
 
+def bench_transenc(batch: int = 8192, iters: int = 10,
+                   precision: str = "bf16") -> float:
+    """transencoder2s forward throughput through the fused whole-encoder
+    Pallas kernel (ops/transenc_pallas.py), in-jit scan methodology."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccsmeth_tpu.models import TransEncConfig
+    from ccsmeth_tpu.models.transenc import apply_transenc, init_transenc
+
+    cfg = TransEncConfig(dropout_rate=0.0)
+    params = jax.device_put(init_transenc(3, cfg))
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    @jax.jit
+    def fn(params, feats):
+        def body(carry, _):
+            f = {**feats, "ipd_means": feats["ipd_means"] * 0.999 + carry * 1e-3}
+            probs = apply_transenc(params, cfg, f, compute_dtype=dtype,
+                                   backend="pallas")[1]
+            return probs[0, 0], probs[0, 1]
+
+        c, ys = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c + ys.sum()
+
+    feats = {k: jax.device_put(v) for k, v in _example_feats(batch).items()}
+    float(fn(params, feats))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fn(params, feats))
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
+
+
 def bench_numerics(batch: int = 2048) -> dict:
     """ON-DEVICE Pallas-vs-XLA parity gate (VERDICT r1 #3): compiled fused
     kernels (whole-network and per-layer; GRU and LSTM) against the XLA scan
@@ -182,8 +217,40 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     while pending:
         collected += predict.collect(pending.popleft()).shape[0]
     dt = time.perf_counter() - t0
-    return {"sites_per_s": round(collected / dt, 1), "batch": batch,
-            "depth": depth, "n_batches": n_batches}
+    out = {"sites_per_s": round(collected / dt, 1), "batch": batch,
+           "depth": depth, "n_batches": n_batches}
+
+    # --- attribution probes ---
+    # (a) pure host->device transfer bandwidth for one compact batch
+    import jax
+
+    compact = predict.compact(host_batches[0])
+    nbytes = sum(v.nbytes for v in compact.values())
+    out["transfer_mb_per_batch"] = round(nbytes / 1e6, 2)
+    t0 = time.perf_counter()
+    n_put = 6
+    for _ in range(n_put):
+        staged = {k: jax.device_put(v, predict.batch_sharding)
+                  for k, v in compact.items()}
+        jax.block_until_ready(staged)
+    put_dt = time.perf_counter() - t0
+    out["put_mbps"] = round(n_put * nbytes / 1e6 / put_dt, 1)
+    # (b) device-resident streaming: inputs staged once, same dispatch loop —
+    # isolates pipeline overhead from the transfer path
+    staged_batches = [
+        {k: jax.device_put(v, predict.batch_sharding) for k, v in
+         predict.compact(hb).items()} for hb in host_batches]
+    pending = deque()
+    collected = 0
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        pending.append(predict.step(staged_batches[i % len(staged_batches)]))
+        while len(pending) > depth:
+            collected += predict.collect(pending.popleft()).shape[0]
+    while pending:
+        collected += predict.collect(pending.popleft()).shape[0]
+    out["resident_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
+    return out
 
 
 def bench_torch_reference(batch: int = 512, iters: int = 3) -> float | None:
@@ -246,6 +313,10 @@ def main():
             extra["numerics"] = bench_numerics()
         except AssertionError as e:
             extra["numerics"] = {"ok": False, "error": str(e)}
+        try:
+            extra["transenc_sites_per_s"] = round(bench_transenc(), 1)
+        except Exception as e:  # noqa: BLE001
+            extra["transenc_sites_per_s"] = str(e)[:200]
         try:
             extra["e2e"] = bench_e2e_stream()
             extra["e2e"]["vs_forward"] = round(

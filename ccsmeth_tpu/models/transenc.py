@@ -125,7 +125,7 @@ def _encoder(params, cfg: TransEncConfig, x, dropout_rng, train, cd=jnp.float32)
 
 
 def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
-                  cd=jnp.float32):
+                  cd=jnp.float32, backend="xla"):
     L = cfg.seq_len
     parts = [
         jnp.take(params["seq_embed"], f["kmer" + suffix].astype(jnp.int32), axis=0),
@@ -152,18 +152,27 @@ def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
     if train:
         dropout_rng, sub = jax.random.split(dropout_rng)
         x = _dropout(x, cfg.dropout_rate, sub)
+    if backend == "pallas" and not train:
+        from ..ops.transenc_pallas import encoder_pooled_pallas
+
+        return encoder_pooled_pallas(params, cfg, x, compute_dtype=cd)
     x = _encoder(params, cfg, x, dropout_rng, train, cd)
     return jnp.mean(x, axis=1)  # (N, d) (models.py:601,615)
 
 
 def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
                    dropout_rng=None, train: bool = False,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, backend: str = "xla"):
+    """backend='pallas' routes the encoder stack + mean pool through the fused
+    whole-encoder kernel (ops/transenc_pallas.py) at inference; training and
+    backend='xla' use the reference-shaped XLA encoder."""
     rng1 = rng2 = rng3 = None
     if dropout_rng is not None:
         rng1, rng2, rng3 = jax.random.split(dropout_rng, 3)
-    out1 = _strand_embed(params, cfg, feats, "", rng1, train, compute_dtype)
-    out2 = _strand_embed(params, cfg, feats, "2", rng2, train, compute_dtype)
+    out1 = _strand_embed(params, cfg, feats, "", rng1, train, compute_dtype,
+                         backend)
+    out2 = _strand_embed(params, cfg, feats, "2", rng2, train, compute_dtype,
+                         backend)
     out = jnp.concatenate([out1, out2], axis=1)
     c0p, c1p = params["classifier"]
     out = jax.nn.relu(jnp.dot(out, c0p["w"], preferred_element_type=jnp.float32) + c0p["b"])

@@ -113,4 +113,9 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
 
     predict.dispatch = dispatch
     predict.collect = collect
+    # internals for benchmarking/attribution (bench.py): stage inputs on device
+    # once, then drive the jitted step directly (no per-call host->device copy)
+    predict.compact = _compact
+    predict.step = _predict
+    predict.batch_sharding = batch_sharding
     return predict

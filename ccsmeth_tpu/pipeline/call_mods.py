@@ -142,8 +142,12 @@ def _apply_for(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
 
     dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     if isinstance(model_cfg, TransEncConfig):
-        return lambda params, cfg, feats: apply_transenc(params, cfg, feats,
-                                                         compute_dtype=dtype)
+        # 'pallas' routes the encoder through the fused whole-encoder kernel
+        # (ops/transenc_pallas.py) — the rnn_backend flag doubles as the
+        # generic accelerator-backend selector
+        te_backend = "pallas" if rnn_backend in ("pallas", "pallas_layer") else "xla"
+        return lambda params, cfg, feats: apply_transenc(
+            params, cfg, feats, compute_dtype=dtype, backend=te_backend)
     return lambda params, cfg, feats: apply_attrnn(
         params, cfg, feats, rnn_backend=rnn_backend, compute_dtype=dtype)
 

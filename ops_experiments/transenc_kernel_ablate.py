@@ -1,0 +1,192 @@
+"""Where does the fused transenc kernel's time go? (follow-up to 164k sites/s)
+
+Clones ops/transenc_pallas.py's kernel with an `attn` switch:
+  full      — shipped kernel (per-head lane slices + 8 batched dots/layer)
+  none      — attention replaced by identity (ctx = q-part of qkv): measures
+              the matmul+LN+FFN floor incl. qkv projection
+  slice     — per-head slices happen, dots/softmax skipped (ctx_h = q_h):
+              isolates the lane-slice relayout cost
+  headfold  — ONE (npacks, PL, NH, HD)->(NH*npacks, PL, HD) transpose per
+              q/k/v instead of 12 lane slices; single 2-dot attention pair
+              over 32 batched instances
+
+Run ON TPU: PYTHONPATH=/root/.axon_site:/root/repo python ops_experiments/transenc_kernel_ablate.py
+"""
+
+import functools
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+if os.environ.get("CCS_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ccsmeth_tpu.models.config import TransEncConfig
+from ccsmeth_tpu.models.transenc import init_transenc
+from ccsmeth_tpu.ops.transenc_pallas import PACK, _stack_layer_params
+
+INTERPRET = os.environ.get("CCS_FORCE_CPU", "") != ""
+
+
+def make_kernel(NL, L, D, NH, npacks, cd, attn):
+    HD = D // NH
+    R = npacks * PACK * L
+    PL_ROWS = PACK * L
+    inv_sqrt = 1.0 / math.sqrt(HD)
+
+    def kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, w1_ref, b1_ref,
+               w2_ref, b2_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
+               out_ref):
+        rb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 0) // L
+        cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
+        mask = jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
+
+        def ln(y, scale, bias):
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            return (y - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+        x = x_ref[...].astype(jnp.float32)
+        for layer in range(NL):
+            qkv = jnp.dot(x.astype(cd), wqkv_ref[layer].astype(cd),
+                          preferred_element_type=jnp.float32) + bqkv_ref[layer]
+            if attn == "none":
+                ctx = qkv[:, :D]
+            elif attn == "slice":
+                qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
+                ctx = jnp.concatenate(
+                    [qkv_p[:, :, h * HD:(h + 1) * HD] for h in range(NH)],
+                    axis=-1).reshape(R, D)
+            elif attn == "headfold":
+                qkv_h = qkv.reshape(npacks, PL_ROWS, 3, NH, HD)
+                # (npacks, PL, 3, NH, HD) -> (3, NH, npacks, PL, HD)
+                qkv_t = qkv_h.transpose(2, 3, 0, 1, 4).reshape(
+                    3, NH * npacks, PL_ROWS, HD)
+                q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
+                s = jax.lax.dot_general(
+                    q.astype(cd), k.astype(cd), (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s * inv_sqrt + mask[None], axis=-1)
+                ctx_f = jax.lax.dot_general(
+                    w.astype(cd), v.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ctx = ctx_f.reshape(NH, npacks, PL_ROWS, HD).transpose(
+                    1, 2, 0, 3).reshape(R, D)
+            else:  # full — shipped formulation
+                qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
+                heads = []
+                for h in range(NH):
+                    q = qkv_p[:, :, h * HD:(h + 1) * HD]
+                    k = qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                    v = qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                    s = jax.lax.dot_general(
+                        q.astype(cd), k.astype(cd),
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    w = jax.nn.softmax(s * inv_sqrt + mask[None], axis=-1)
+                    heads.append(jax.lax.dot_general(
+                        w.astype(cd), v.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32))
+                ctx = jnp.concatenate(heads, axis=-1).reshape(R, D)
+            a = jnp.dot(ctx.astype(cd), wo_ref[layer].astype(cd),
+                        preferred_element_type=jnp.float32) + bo_ref[layer]
+            x = ln(x + a, ln1s_ref[layer], ln1b_ref[layer])
+            h1 = jnp.maximum(jnp.dot(x.astype(cd), w1_ref[layer].astype(cd),
+                                     preferred_element_type=jnp.float32)
+                             + b1_ref[layer], 0.0)
+            h2 = jnp.dot(h1.astype(cd), w2_ref[layer].astype(cd),
+                         preferred_element_type=jnp.float32) + b2_ref[layer]
+            x = ln(x + h2, ln2s_ref[layer], ln2b_ref[layer])
+        out_ref[...] = jnp.mean(x.reshape(npacks * PACK, L, D), axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("npacks", "attn", "cd"))
+def run(x, stacked, npacks, attn, cd):
+    B, L, D = x.shape
+    NL = stacked["wqkv"].shape[0]
+    NH = 4
+    tile = PACK * npacks
+    assert B % tile == 0
+    R = npacks * PACK * L
+    kernel = make_kernel(NL, L, D, NH, npacks, cd, attn)
+    names = ("wqkv", "bqkv", "wo", "bo", "w1", "b1", "w2", "b2",
+             "ln1s", "ln1b", "ln2s", "ln2b")
+    wd = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
+    weights = [stacked[n].astype(wd if n.startswith("w") else jnp.float32)
+               for n in names]
+
+    def wspec(arr):
+        n = len(arr.shape)
+        return pl.BlockSpec(arr.shape, lambda i, _n=n: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[pl.BlockSpec((R, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)]
+        + [wspec(w) for w in weights],
+        out_specs=pl.BlockSpec((tile, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(x.reshape(B * L, D), *weights)
+
+
+def bench(fn, x, iters=10):
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            o = fn(x * (1.0 + c * 1e-6))
+            return o[0, 0], o[0, 0]
+
+        c, ys = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c + ys.sum()
+
+    float(loop(x))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(x))
+        best = min(best, time.perf_counter() - t0)
+    return x.shape[0] * iters / best
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8064
+    cfg = TransEncConfig(dropout_rate=0.0)
+    params = init_transenc(3, cfg)
+    stacked = jax.device_put(_stack_layer_params(params["layers"]))
+    x = jax.device_put(np.random.RandomState(0).randn(B, 21, 256).astype(
+        np.float32) * 0.4)
+    ref = np.asarray(run(x, stacked, 8, "full", jnp.float32))
+    for attn in ("full", "none", "slice", "headfold"):
+        for npacks in ((8, 16) if attn == "headfold" else (8,)):
+            try:
+                got = np.asarray(run(x, stacked, npacks, attn, jnp.bfloat16))
+                err = (float(np.max(np.abs(got - ref)))
+                       if attn in ("full", "headfold") else float("nan"))
+                r = bench(lambda xx, a=attn, n=npacks: run(xx, stacked, n, a,
+                                                           jnp.bfloat16), x)
+                print("{:9s} npacks={:2d} {:9.0f} rows/s  maxdiff {:.2e}".format(
+                    attn, npacks, r, err), flush=True)
+            except Exception as e:  # noqa: BLE001
+                print("{:9s} npacks={:2d} FAILED {}".format(
+                    attn, npacks, str(e)[:200]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

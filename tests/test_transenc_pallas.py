@@ -1,0 +1,80 @@
+"""Fused whole-encoder transenc kernel vs the XLA path (interpret mode on CPU).
+
+The block-diagonal sample-packed attention (ops/transenc_pallas.py) must be
+exactly the per-sample attention: the -1e9 additive mask underflows off-block
+softmax terms to 0 after row-max subtraction. On-device numerics are gated by
+bench.py's numerics mode on the real chip."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ccsmeth_tpu.models.config import TransEncConfig
+from ccsmeth_tpu.models.transenc import (_encoder, _strand_embed,
+                                         apply_transenc, init_transenc)
+from ccsmeth_tpu.ops.transenc_pallas import encoder_pooled_pallas
+
+
+def _feats(B, L=21, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = {}
+    for s in ("", "2"):
+        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+        feats["kpass" + s] = np.full((B, L), 8.0, np.float32)
+        feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["ipd_stds" + s] = np.zeros((B, L), np.float32)
+        feats["pw_stds" + s] = np.zeros((B, L), np.float32)
+        feats["sns" + s] = np.zeros((B, 4), np.float32)
+        feats["maps" + s] = np.zeros((B, L), np.float32)
+    return feats
+
+
+def test_encoder_kernel_matches_xla():
+    cfg = TransEncConfig(dropout_rate=0.0)
+    params = init_transenc(11, cfg)
+    B = 48  # exactly one tile (8 packs x 6 samples)
+    x = np.random.RandomState(3).randn(B, cfg.seq_len, cfg.d_model).astype(
+        np.float32) * 0.4
+    ref = np.asarray(jnp.mean(_encoder(params, cfg, jnp.asarray(x), None,
+                                       False), axis=1))
+    got = np.asarray(encoder_pooled_pallas(params, cfg, jnp.asarray(x),
+                                           interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_padding_batch_not_multiple_of_tile():
+    cfg = TransEncConfig(dropout_rate=0.0, num_layers=2)
+    params = init_transenc(5, cfg)
+    B = 50  # pads to 96; pad samples must not leak into real ones
+    x = np.random.RandomState(4).randn(B, cfg.seq_len, cfg.d_model).astype(
+        np.float32) * 0.4
+    ref = np.asarray(jnp.mean(_encoder(params, cfg, jnp.asarray(x), None,
+                                       False), axis=1))
+    got = np.asarray(encoder_pooled_pallas(params, cfg, jnp.asarray(x),
+                                           interpret=True))
+    assert got.shape == (B, cfg.d_model)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_full_model_surface_parity():
+    """apply_transenc(backend='pallas') == backend='xla' at the probs surface,
+    drift far below one ML byte (1/256)."""
+    cfg = TransEncConfig(dropout_rate=0.0)
+    params = init_transenc(7, cfg)
+    feats = _feats(52)
+    ref = np.asarray(apply_transenc(params, cfg, feats)[1])
+    got = np.asarray(apply_transenc(params, cfg, feats, backend="pallas")[1])
+    assert float(np.max(np.abs(got - ref))) < 1e-5
+
+
+def test_train_path_ignores_pallas_backend():
+    """Training must keep using the XLA encoder (dropout lives there)."""
+    import jax
+
+    cfg = TransEncConfig(dropout_rate=0.5)
+    params = init_transenc(9, cfg)
+    feats = _feats(12)
+    rng = jax.random.PRNGKey(0)
+    logits, _ = apply_transenc(params, cfg, feats, dropout_rng=rng, train=True,
+                               backend="pallas")
+    assert np.isfinite(np.asarray(logits)).all()
