@@ -135,7 +135,7 @@ def main_call_mods(args):
         skip_unmapped=str2bool(args.skip_unmapped), holeids_e=args.holeids_e,
         holeids_ne=args.holeids_ne, gzip_out=args.gzip,
         rnn_backend=args.rnn_backend, precision=args.precision,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, h0_mode=args.h0_mode, tseed=args.tseed,
         num_processes=args.num_processes, process_id=args.process_id)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
         if args.seq_len % 2 == 0:
@@ -333,6 +333,12 @@ def get_parser() -> argparse.ArgumentParser:
                     help="compute precision for the pallas fast path, default fp32")
     gc.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler device trace here (xprof viewable)")
+    gc.add_argument("--h0_mode", type=str, default="zeros",
+                    choices=["zeros", "randn"],
+                    help="RNN initial state: zeros (deterministic engine default) "
+                         "or randn (replays the reference's per-forward randn h0 "
+                         "draws seeded by --tseed for bit-reproduction of a "
+                         "reference eval; requires --rnn_backend xla)")
     gs = p.add_argument_group("SCALE-OUT")
     gs.add_argument("--num_processes", type=int, default=1,
                     help="share-nothing scale-out: total processes splitting the "

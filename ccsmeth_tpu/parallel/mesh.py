@@ -57,6 +57,12 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     @jax.jit
     def _predict(compact):
         B = compact["kmer"].shape[0]
+        # optional explicit RNN initial states (call_mods --h0_mode randn):
+        # transferred batch-major (B, nl2, H) so the data sharding lands on the
+        # batch dim, restored to apply_attrnn's (nl2, B, H) here; key presence
+        # is static per trace
+        h0s = {k: jnp.transpose(compact[k], (1, 0, 2))
+               for k in ("h0", "h0_2", "c0", "c0_2") if k in compact}
         feats = {}
         for s in ("", "2"):
             feats["kmer" + s] = compact["kmer" + s].astype(jnp.float32)
@@ -72,7 +78,7 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
                                 if need_sn else jnp.zeros((B, 4)))
             feats["maps" + s] = (compact["maps" + s].astype(jnp.float32)
                                  if need_map else jnp.zeros((B, L)))
-        _logits, probs = apply_fn(params, cfg, feats)
+        _logits, probs = apply_fn(params, cfg, feats, **h0s)
         return probs
 
     def _compact(feats: dict) -> dict:
@@ -98,6 +104,10 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
                 out["sns" + s] = opt("sns" + s, (B, 4))
             if need_map:
                 out["maps" + s] = opt("maps" + s, (B, L))
+        for k in ("h0", "h0_2", "c0", "c0_2"):  # (nl2, B, H) -> (B, nl2, H)
+            if k in feats:
+                out[k] = np.ascontiguousarray(
+                    np.moveaxis(np.asarray(feats[k], np.float32), 1, 0))
         return out
 
     def dispatch(feats: dict):

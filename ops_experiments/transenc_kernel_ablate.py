@@ -66,6 +66,76 @@ def make_kernel(NL, L, D, NH, npacks, cd, attn):
                 ctx = jnp.concatenate(
                     [qkv_p[:, :, h * HD:(h + 1) * HD] for h in range(NH)],
                     axis=-1).reshape(R, D)
+            elif attn in ("nosm", "nomax"):
+                # full formulation, softmax ablated (nosm: timing-only, wrong
+                # math) or computed without the max-subtraction pass (nomax).
+                qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
+                heads = []
+                for h in range(NH):
+                    q = qkv_p[:, :, h * HD:(h + 1) * HD]
+                    k = qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                    v = qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                    s = jax.lax.dot_general(
+                        q.astype(cd), k.astype(cd),
+                        (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    if attn == "nosm":
+                        w = s * inv_sqrt + mask[None]
+                    else:
+                        e = jnp.exp(s * inv_sqrt + mask[None])
+                        w = e / jnp.sum(e, axis=-1, keepdims=True)
+                    heads.append(jax.lax.dot_general(
+                        w.astype(cd), v.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32))
+                ctx = jnp.concatenate(heads, axis=-1).reshape(R, D)
+            elif attn == "stackhead":
+                # heads folded into the dot batch dim via axis-0 concat
+                # (2D-friendly; no 5D transpose): 2 big dots per layer.
+                qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
+                q_all = jnp.concatenate(
+                    [qkv_p[:, :, h * HD:(h + 1) * HD] for h in range(NH)], 0)
+                k_all = jnp.concatenate(
+                    [qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                     for h in range(NH)], 0)
+                v_all = jnp.concatenate(
+                    [qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                     for h in range(NH)], 0)
+                s = jax.lax.dot_general(
+                    q_all.astype(cd), k_all.astype(cd),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s * inv_sqrt + mask[None], axis=-1)
+                ctx_f = jax.lax.dot_general(
+                    w.astype(cd), v_all.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ctx = jnp.concatenate(
+                    [ctx_f[h * npacks:(h + 1) * npacks] for h in range(NH)],
+                    -1).reshape(R, D)
+            elif attn == "sitebatch":
+                # block-diagonal structure made explicit: each site's L rows
+                # attend only within themselves, so batch sites (and heads)
+                # into the dot batch dim — 8x fewer score FLOPs, NO mask.
+                nsite = npacks * PACK
+                qkv_s = qkv.reshape(nsite, L, 3 * D)
+                q_all = jnp.concatenate(
+                    [qkv_s[:, :, h * HD:(h + 1) * HD] for h in range(NH)], 0)
+                k_all = jnp.concatenate(
+                    [qkv_s[:, :, D + h * HD:D + (h + 1) * HD]
+                     for h in range(NH)], 0)
+                v_all = jnp.concatenate(
+                    [qkv_s[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                     for h in range(NH)], 0)
+                s = jax.lax.dot_general(
+                    q_all.astype(cd), k_all.astype(cd),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s * inv_sqrt, axis=-1)
+                ctx_f = jax.lax.dot_general(
+                    w.astype(cd), v_all.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ctx = jnp.concatenate(
+                    [ctx_f[h * nsite:(h + 1) * nsite] for h in range(NH)],
+                    -1).reshape(R, D)
             elif attn == "headfold":
                 qkv_h = qkv.reshape(npacks, PL_ROWS, 3, NH, HD)
                 # (npacks, PL, 3, NH, HD) -> (3, NH, npacks, PL, HD)
@@ -173,12 +243,15 @@ def main():
     x = jax.device_put(np.random.RandomState(0).randn(B, 21, 256).astype(
         np.float32) * 0.4)
     ref = np.asarray(run(x, stacked, 8, "full", jnp.float32))
-    for attn in ("full", "none", "slice", "headfold"):
+    variants = sys.argv[2].split(",") if len(sys.argv) > 2 else (
+        "full", "none", "slice", "headfold")
+    for attn in variants:
         for npacks in ((8, 16) if attn == "headfold" else (8,)):
             try:
                 got = np.asarray(run(x, stacked, npacks, attn, jnp.bfloat16))
                 err = (float(np.max(np.abs(got - ref)))
-                       if attn in ("full", "headfold") else float("nan"))
+                       if attn in ("full", "headfold", "nomax", "stackhead",
+                                   "sitebatch") else float("nan"))
                 r = bench(lambda xx, a=attn, n=npacks: run(xx, stacked, n, a,
                                                            jnp.bfloat16), x)
                 print("{:9s} npacks={:2d} {:9.0f} rows/s  maxdiff {:.2e}".format(
