@@ -205,20 +205,25 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
                               transfer_dtype=tdt)
     # n_batches distinct host-side batches (realistic: every dispatch transfers)
     host_batches = [_example_feats(batch, seed=s) for s in range(min(n_batches, 8))]
-    predict(host_batches[0])  # compile + warm
-    pending: deque = deque()
-    collected = 0
-    t0 = time.perf_counter()
-    for i in range(n_batches):
-        pending.append(predict.dispatch(host_batches[i % len(host_batches)]))
-        while len(pending) > depth:
-            probs = predict.collect(pending.popleft())
-            collected += probs.shape[0]
-    while pending:
-        collected += predict.collect(pending.popleft()).shape[0]
-    dt = time.perf_counter() - t0
-    out = {"sites_per_s": round(collected / dt, 1), "batch": batch,
-           "depth": depth, "n_batches": n_batches}
+    predict(host_batches[0])  # compile + warm (packed path)
+    predict.collect(predict.dispatch_unpacked(host_batches[0]))
+
+    def stream(dispatch_fn, n=n_batches):
+        pending: deque = deque()
+        collected = 0
+        t0 = time.perf_counter()
+        for i in range(n):
+            pending.append(dispatch_fn(host_batches[i % len(host_batches)]))
+            while len(pending) > depth:
+                collected += predict.collect(pending.popleft()).shape[0]
+        while pending:
+            collected += predict.collect(pending.popleft()).shape[0]
+        return collected / (time.perf_counter() - t0)
+
+    out = {"sites_per_s": round(stream(predict.dispatch), 1), "batch": batch,
+           "depth": depth, "n_batches": n_batches,
+           "row_bytes": predict.row_bytes,
+           "unpacked_sites_per_s": round(stream(predict.dispatch_unpacked), 1)}
 
     # --- attribution probes ---
     # (a) pure host->device transfer bandwidth for one compact batch
@@ -235,6 +240,16 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
         jax.block_until_ready(staged)
     put_dt = time.perf_counter() - t0
     out["put_mbps"] = round(n_put * nbytes / 1e6 / put_dt, 1)
+    # (a') same bytes, ONE put (the packed row buffer): separates per-put RPC
+    # latency from raw bandwidth — if put_mbps_1put >> put_mbps the tunnel is
+    # latency-bound and packing is the right fix
+    packed_buf = predict.pack(compact)
+    t0 = time.perf_counter()
+    for _ in range(n_put):
+        jax.block_until_ready(
+            jax.device_put(packed_buf, predict.batch_sharding))
+    out["put_mbps_1put"] = round(
+        n_put * packed_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
     # (b) device-resident streaming: inputs staged once, same dispatch loop —
     # isolates pipeline overhead from the transfer path
     staged_batches = [

@@ -9,6 +9,7 @@ batch over all visible devices; multi-host adds --dist_coordinator/--num_process
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from ._version import __version__
@@ -487,6 +488,14 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Host-environment escape hatch: some deployments register an accelerator
+    # plugin via sitecustomize that overrides JAX_PLATFORMS, so an env var the
+    # CLI reads itself is the only reliable way to pin CPU execution (mirrors
+    # the reference's use_cuda auto-fallback, constants_torch.py:5).
+    if os.environ.get("CCS_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     parser = get_parser()
     args = parser.parse_args(argv)
     args.func(args)

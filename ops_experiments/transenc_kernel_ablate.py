@@ -37,10 +37,86 @@ from ccsmeth_tpu.ops.transenc_pallas import PACK, _stack_layer_params
 INTERPRET = os.environ.get("CCS_FORCE_CPU", "") != ""
 
 
-def make_kernel(NL, L, D, NH, npacks, cd, attn):
+def make_kernel_wsplit(NL, L, D, NH, npacks, cd, pack=PACK):
+    """Per-head q/k/v from pre-split weights: no activation lane slices, no
+    ctx concat — head outputs fold into the output projection (wo split by
+    rows) and accumulate. Same MACs as `full`."""
     HD = D // NH
-    R = npacks * PACK * L
-    PL_ROWS = PACK * L
+    R = npacks * pack * L
+    PL_ROWS = pack * L
+    inv_sqrt = 1.0 / math.sqrt(HD)
+
+    def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+               wo_ref, bo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, out_ref):
+        rb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 0) // L
+        cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
+        mask = jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
+
+        def ln(y, scale, bias):
+            mu = jnp.mean(y, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+            return (y - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+        x = x_ref[...].astype(jnp.float32)
+        for layer in range(NL):
+            xc = x.astype(cd)
+            ctx_sum = None
+            for h in range(NH):
+                q = (jnp.dot(xc, wq_ref[layer, h],
+                             preferred_element_type=jnp.float32)
+                     + bq_ref[layer, h]).reshape(npacks, PL_ROWS, HD)
+                k = (jnp.dot(xc, wk_ref[layer, h],
+                             preferred_element_type=jnp.float32)
+                     + bk_ref[layer, h]).reshape(npacks, PL_ROWS, HD)
+                v = (jnp.dot(xc, wv_ref[layer, h],
+                             preferred_element_type=jnp.float32)
+                     + bv_ref[layer, h]).reshape(npacks, PL_ROWS, HD)
+                s = jax.lax.dot_general(
+                    q.astype(cd), k.astype(cd), (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s * inv_sqrt + mask[None], axis=-1)
+                ctx_h = jax.lax.dot_general(
+                    w.astype(cd), v.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                part = jnp.dot(ctx_h.reshape(R, HD).astype(cd),
+                               wo_ref[layer, h],
+                               preferred_element_type=jnp.float32)
+                ctx_sum = part if ctx_sum is None else ctx_sum + part
+            a = ctx_sum + bo_ref[layer]
+            x = ln(x + a, ln1s_ref[layer], ln1b_ref[layer])
+            h1 = jnp.maximum(jnp.dot(x.astype(cd), w1_ref[layer].astype(cd),
+                                     preferred_element_type=jnp.float32)
+                             + b1_ref[layer], 0.0)
+            h2 = jnp.dot(h1.astype(cd), w2_ref[layer].astype(cd),
+                         preferred_element_type=jnp.float32) + b2_ref[layer]
+            x = ln(x + h2, ln2s_ref[layer], ln2b_ref[layer])
+        out_ref[...] = jnp.mean(x.reshape(npacks * pack, L, D), axis=1)
+
+    return kernel
+
+
+def split_head_weights(stacked, NH):
+    """(NL, D, 3D) wqkv -> per-head (NL, NH, D, HD) wq/wk/wv (+ (NL, NH, HD)
+    biases) and (NL, NH, HD, D) row-split wo."""
+    NL, D, _ = stacked["wqkv"].shape
+    HD = D // NH
+    wqkv = stacked["wqkv"]
+    bqkv = stacked["bqkv"]
+    out = {}
+    for i, nm in enumerate(("wq", "wk", "wv")):
+        w = wqkv[:, :, i * D:(i + 1) * D]          # (NL, D, D)
+        out[nm] = w.reshape(NL, D, NH, HD).transpose(0, 2, 1, 3)  # (NL,NH,D,HD)
+        b = bqkv[:, i * D:(i + 1) * D]
+        out["b" + nm[1]] = b.reshape(NL, NH, HD)
+    out["wo_h"] = stacked["wo"].reshape(NL, NH, HD, D)
+    return out
+
+
+def make_kernel(NL, L, D, NH, npacks, cd, attn, pack=PACK):
+    HD = D // NH
+    R = npacks * pack * L
+    PL_ROWS = pack * L
     inv_sqrt = 1.0 / math.sqrt(HD)
 
     def kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, w1_ref, b1_ref,
@@ -115,7 +191,7 @@ def make_kernel(NL, L, D, NH, npacks, cd, attn):
                 # block-diagonal structure made explicit: each site's L rows
                 # attend only within themselves, so batch sites (and heads)
                 # into the dot batch dim — 8x fewer score FLOPs, NO mask.
-                nsite = npacks * PACK
+                nsite = npacks * pack
                 qkv_s = qkv.reshape(nsite, L, 3 * D)
                 q_all = jnp.concatenate(
                     [qkv_s[:, :, h * HD:(h + 1) * HD] for h in range(NH)], 0)
@@ -176,25 +252,36 @@ def make_kernel(NL, L, D, NH, npacks, cd, attn):
             h2 = jnp.dot(h1.astype(cd), w2_ref[layer].astype(cd),
                          preferred_element_type=jnp.float32) + b2_ref[layer]
             x = ln(x + h2, ln2s_ref[layer], ln2b_ref[layer])
-        out_ref[...] = jnp.mean(x.reshape(npacks * PACK, L, D), axis=1)
+        out_ref[...] = jnp.mean(x.reshape(npacks * pack, L, D), axis=1)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("npacks", "attn", "cd"))
-def run(x, stacked, npacks, attn, cd):
+@functools.partial(jax.jit, static_argnames=("npacks", "attn", "cd", "pack"))
+def run(x, stacked, npacks, attn, cd, pack=PACK):
     B, L, D = x.shape
     NL = stacked["wqkv"].shape[0]
     NH = 4
-    tile = PACK * npacks
+    tile = pack * npacks
     assert B % tile == 0
-    R = npacks * PACK * L
-    kernel = make_kernel(NL, L, D, NH, npacks, cd, attn)
-    names = ("wqkv", "bqkv", "wo", "bo", "w1", "b1", "w2", "b2",
-             "ln1s", "ln1b", "ln2s", "ln2b")
+    R = npacks * pack * L
     wd = jnp.bfloat16 if cd == jnp.bfloat16 else jnp.float32
-    weights = [stacked[n].astype(wd if n.startswith("w") else jnp.float32)
-               for n in names]
+    if attn == "wsplit":
+        kernel = make_kernel_wsplit(NL, L, D, NH, npacks, cd, pack)
+        sh = split_head_weights(stacked, NH)
+        weights = [sh["wq"].astype(wd), sh["wk"].astype(wd),
+                   sh["wv"].astype(wd), sh["bq"], sh["bk"], sh["bv"],
+                   sh["wo_h"].astype(wd), stacked["bo"],
+                   stacked["w1"].astype(wd), stacked["b1"],
+                   stacked["w2"].astype(wd), stacked["b2"],
+                   stacked["ln1s"], stacked["ln1b"],
+                   stacked["ln2s"], stacked["ln2b"]]
+    else:
+        kernel = make_kernel(NL, L, D, NH, npacks, cd, attn, pack)
+        names = ("wqkv", "bqkv", "wo", "bo", "w1", "b1", "w2", "b2",
+                 "ln1s", "ln1b", "ln2s", "ln2b")
+        weights = [stacked[n].astype(wd if n.startswith("w") else jnp.float32)
+                   for n in names]
 
     def wspec(arr):
         n = len(arr.shape)
@@ -245,20 +332,28 @@ def main():
     ref = np.asarray(run(x, stacked, 8, "full", jnp.float32))
     variants = sys.argv[2].split(",") if len(sys.argv) > 2 else (
         "full", "none", "slice", "headfold")
-    for attn in variants:
-        for npacks in ((8, 16) if attn == "headfold" else (8,)):
+    exact = ("full", "headfold", "nomax", "stackhead", "sitebatch", "wsplit")
+    for spec in variants:
+        # "wsplit@12x4" = attn wsplit, PACK 12, npacks 4 (tile stays 48)
+        if "@" in spec:
+            attn, pn = spec.split("@")
+            pack, npacks_list = int(pn.split("x")[0]), (int(pn.split("x")[1]),)
+        else:
+            attn, pack = spec, PACK
+            npacks_list = (8, 16) if attn == "headfold" else (8,)
+        for npacks in npacks_list:
             try:
-                got = np.asarray(run(x, stacked, npacks, attn, jnp.bfloat16))
+                got = np.asarray(run(x, stacked, npacks, attn, jnp.bfloat16,
+                                     pack))
                 err = (float(np.max(np.abs(got - ref)))
-                       if attn in ("full", "headfold", "nomax", "stackhead",
-                                   "sitebatch") else float("nan"))
-                r = bench(lambda xx, a=attn, n=npacks: run(xx, stacked, n, a,
-                                                           jnp.bfloat16), x)
-                print("{:9s} npacks={:2d} {:9.0f} rows/s  maxdiff {:.2e}".format(
-                    attn, npacks, r, err), flush=True)
+                       if attn in exact else float("nan"))
+                r = bench(lambda xx, a=attn, n=npacks, p=pack: run(
+                    xx, stacked, n, a, jnp.bfloat16, p), x)
+                print("{:9s} pack={:2d} npacks={:2d} {:9.0f} rows/s  maxdiff"
+                      " {:.2e}".format(attn, pack, npacks, r, err), flush=True)
             except Exception as e:  # noqa: BLE001
-                print("{:9s} npacks={:2d} FAILED {}".format(
-                    attn, npacks, str(e)[:200]), flush=True)
+                print("{:9s} pack={:2d} npacks={:2d} FAILED {}".format(
+                    attn, pack, npacks, str(e)[:200]), flush=True)
 
 
 if __name__ == "__main__":

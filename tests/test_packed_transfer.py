@@ -1,0 +1,73 @@
+"""Packed single-put transfer path (parallel/mesh.py).
+
+Through a remote-attached device every ``device_put`` is an RPC with fixed
+latency, so ``make_predict_fn``'s production ``dispatch`` packs all feature
+channels of a site into one contiguous byte row and ships ONE (B, row_bytes)
+uint8 array; the jit unpacks with static slices + bitcasts. These tests gate
+bit-equality of the packed path against the per-channel path (and the h0
+replay variant) on CPU, across transfer dtypes and optional channels.
+"""
+
+import ml_dtypes
+import numpy as np
+import pytest
+
+from ccsmeth_tpu.models import AttRNNConfig, init_attrnn
+from ccsmeth_tpu.parallel.mesh import make_predict_fn
+from ccsmeth_tpu.pipeline.call_mods import _apply_for
+
+
+def _feats(B, L=21, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = {}
+    for s in ("", "2"):
+        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+        feats["kpass" + s] = np.full((B, L), 8.0, np.float32)
+        feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
+        feats["ipd_stds" + s] = rng.rand(B, L).astype(np.float32)
+        feats["pw_stds" + s] = rng.rand(B, L).astype(np.float32)
+        feats["sns" + s] = rng.rand(B, 4).astype(np.float32)
+        feats["maps" + s] = rng.rand(B, L).astype(np.float32)
+    return feats
+
+
+@pytest.mark.parametrize("tdt", [np.float32, np.dtype(ml_dtypes.bfloat16)])
+def test_packed_equals_unpacked(tdt):
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(1234, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
+                              transfer_dtype=tdt)
+    feats = _feats(48)
+    packed = np.asarray(predict.collect(predict.dispatch(feats)))
+    unpacked = np.asarray(predict.collect(predict.dispatch_unpacked(feats)))
+    np.testing.assert_array_equal(packed, unpacked)
+
+
+def test_packed_with_optional_channels():
+    cfg = AttRNNConfig(dropout_rate=0.0, is_stds=True, is_sn=True, is_map=True)
+    params = init_attrnn(7, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    feats = _feats(16)
+    packed = np.asarray(predict.collect(predict.dispatch(feats)))
+    unpacked = np.asarray(predict.collect(predict.dispatch_unpacked(feats)))
+    np.testing.assert_array_equal(packed, unpacked)
+    # all-channel fp32 row: 2 strands x (21 int8 + 4B kpass + 4*21*4B kinetics
+    # + 4*4B sn + 21*4B map)
+    assert predict.row_bytes == 2 * (21 + 4 + 4 * 21 * 4 + 16 + 84)
+
+
+def test_packed_with_h0_replay():
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(5, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    rng = np.random.RandomState(3)
+    feats = _feats(16)
+    feats["h0"] = rng.randn(6, 16, 256).astype(np.float32)
+    feats["h0_2"] = rng.randn(6, 16, 256).astype(np.float32)
+    packed = np.asarray(predict.collect(predict.dispatch(feats)))
+    unpacked = np.asarray(predict.collect(predict.dispatch_unpacked(feats)))
+    np.testing.assert_array_equal(packed, unpacked)
+    # h0 must actually change the result (guards against silently dropping it)
+    nz = np.asarray(predict.collect(predict.dispatch(_feats(16))))
+    assert not np.array_equal(packed, nz)
