@@ -39,6 +39,12 @@ def _write_train_tsv(path: str, n: int, seed: int, seq_len: int = 21) -> None:
 
 
 def main() -> None:
+    # CCS_FORCE_CPU pins the CPU backend even when a sitecustomize-registered
+    # accelerator plugin overrides JAX_PLATFORMS (same knob as the CLI).
+    if os.environ.get("CCS_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="demo_out")
     ap.add_argument("--rnn_backend", default="xla", choices=["xla", "pallas"])

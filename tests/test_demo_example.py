@@ -9,7 +9,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_run_demo(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="", CCS_FORCE_CPU="1",
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", "run_demo.py"),
