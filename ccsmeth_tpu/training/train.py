@@ -134,6 +134,40 @@ def _init_params(cfg: TrainConfig, model_cfg):
     return init_attrnn(cfg.tseed, model_cfg)
 
 
+def _batch_layout(model_cfg) -> list[tuple[str, int]]:
+    """Column layout of a packed (B, n_cols) fp32 training batch: every feature
+    channel flattened side by side, then one labels column and one mask column."""
+    from .data import _FEATURE_KEYS, _FEATURE_KEYS_SS
+
+    L = model_cfg.seq_len
+    keys = (_FEATURE_KEYS if getattr(model_cfg, "two_strand", True)
+            else _FEATURE_KEYS_SS)
+    return [(k, 4 if k.startswith("sns") else L) for k in keys]
+
+
+def _pack_cols(fields, feats: dict, labels, mask) -> np.ndarray:
+    B = np.asarray(labels).shape[0]
+    cols = []
+    for k, n in fields:
+        v = np.asarray(feats[k], np.float32).reshape(B, -1)
+        assert v.shape[1] == n, "channel {} has {} cols, layout says {}".format(
+            k, v.shape[1], n)
+        cols.append(v)
+    cols.append(np.asarray(labels, np.float32).reshape(B, 1))
+    cols.append(np.asarray(mask, np.float32).reshape(B, 1))
+    return np.ascontiguousarray(np.concatenate(cols, axis=1))
+
+
+def _unpack_cols(flat, fields):
+    feats, o = {}, 0
+    for k, n in fields:
+        feats[k] = flat[:, o:o + n]
+        o += n
+    labels = flat[:, o].astype(jnp.int32)
+    mask = flat[:, o + 1]
+    return feats, labels, mask
+
+
 def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
                     rnn_backend: str = "xla", precision: str = "fp32"):
     """Build the jitted sharded train step: (params, opt_state, feats, labels,
@@ -180,7 +214,30 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
     step = jax.shard_map(shard_step, mesh=mesh,
                          in_specs=(P(), P(), P("data"), P("data"), P("data"), P()),
                          out_specs=(P(), P(), P()), check_vma=False)
-    return jax.jit(step), mesh
+    jit_dict = jax.jit(step)
+
+    # packed companion: the training loop ships ONE (B, n_cols) fp32 array per
+    # step instead of ~18 per-channel arrays — on a remote-attached device each
+    # host->device transfer is a fixed-latency RPC, and at batch 512 the per-
+    # channel arrays are far too small to amortize it (same rationale as the
+    # inference packed dispatch, parallel/mesh.py)
+    fields = _batch_layout(model_cfg)
+
+    def shard_step_packed(params, opt_state, flat, rng):
+        feats, labels, mask = _unpack_cols(flat, fields)
+        return shard_step(params, opt_state, feats, labels, mask, rng)
+
+    jit_packed = jax.jit(jax.shard_map(
+        shard_step_packed, mesh=mesh, in_specs=(P(), P(), P("data"), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+
+    def jstep(params, opt_state, feats, labels, mask, rng):
+        return jit_dict(params, opt_state, feats, labels, mask, rng)
+
+    jstep.packed = jit_packed
+    jstep.pack_batch = lambda feats, labels, mask: _pack_cols(fields, feats,
+                                                              labels, mask)
+    return jstep, mesh
 
 
 def make_eval_step(model_cfg, pos_weight: float, mesh=None):
@@ -216,8 +273,24 @@ def make_eval_step(model_cfg, pos_weight: float, mesh=None):
         ])
         return loss, pred, counts
 
-    return jax.jit(step, in_shardings=(rep, batch_s, batch_s, batch_s),
-                   out_shardings=(rep, batch_s, rep)), mesh
+    jit_dict = jax.jit(step, in_shardings=(rep, batch_s, batch_s, batch_s),
+                       out_shardings=(rep, batch_s, rep))
+    fields = _batch_layout(model_cfg)
+
+    def step_packed(params, flat):
+        feats, labels, mask = _unpack_cols(flat, fields)
+        return step(params, feats, labels, mask)
+
+    jit_packed = jax.jit(step_packed, in_shardings=(rep, batch_s),
+                         out_shardings=(rep, batch_s, rep))
+
+    def jstep(params, feats, labels, mask):
+        return jit_dict(params, feats, labels, mask)
+
+    jstep.packed = jit_packed
+    jstep.pack_batch = lambda feats, labels, mask: _pack_cols(fields, feats,
+                                                              labels, mask)
+    return jstep, mesh
 
 
 def save_train_state(path: str, opt_state, epoch: int) -> None:
@@ -320,17 +393,14 @@ def train(cfg: TrainConfig) -> dict:
     LOGGER.info("total_step: %d", total_step)
     batch_sharding = shard_batch_spec(mesh)
 
-    def to_global(feats, labels, mask):
-        """Assemble per-host local rows into global sharded arrays (multi-host)."""
+    def to_global(flat):
+        """Assemble per-host local rows of the packed batch into one global
+        sharded array (multi-host); single-process passes through."""
         if n_proc == 1:
-            return feats, labels, mask
-
-        def g(x):
-            global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
-            return jax.make_array_from_process_local_data(batch_sharding, x,
-                                                          global_shape)
-
-        return ({k: g(v) for k, v in feats.items()}, g(labels), g(mask))
+            return flat
+        global_shape = (flat.shape[0] * n_proc,) + flat.shape[1:]
+        return jax.make_array_from_process_local_data(batch_sharding, flat,
+                                                      global_shape)
     curr_best_accuracy = 0.0
     curr_best_loc = 0
     best_epoch_accs: list[float] = []
@@ -355,8 +425,8 @@ def train(cfg: TrainConfig) -> dict:
                 break
             mask = np.zeros(pad_n, np.float32)
             mask[:n_valid] = 1.0
-            feats, labels, mask = to_global(feats, labels.astype(np.int32), mask)
-            loss, _pred, counts = eval_step(params, feats, labels, mask)
+            flat = to_global(eval_step.pack_batch(feats, labels, mask))
+            loss, _pred, counts = eval_step.packed(params, flat)
             vlosses.append(float(loss))
             csum += np.asarray(counts, np.float64)
         n, correct, tp, fp, fn = csum
@@ -382,10 +452,10 @@ def train(cfg: TrainConfig) -> dict:
                 break  # equal collective step count on every host
             mask = np.zeros(pad_n, np.float32)
             mask[:n_valid] = 1.0
-            gfeats, glabels, gmask = to_global(feats, labels.astype(np.int32), mask)
+            gflat = to_global(train_step.pack_batch(feats, labels, mask))
             rng, sub = jax.random.split(rng)
-            params, opt_state, loss = train_step(params, opt_state, gfeats,
-                                                 glabels, gmask, sub)
+            params, opt_state, loss = train_step.packed(params, opt_state,
+                                                        gflat, sub)
             # keep losses on device; fetch only at logging boundaries (a float()
             # per step is a host sync per step — expensive on remote runtimes)
             tlosses.append(loss)

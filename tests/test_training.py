@@ -128,6 +128,13 @@ def test_train_step_sharded_multidevice():
     p2, _o2, l2 = step(p1, o1, feats, labels, mask, key)
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert float(l2) < float(l1) + 1.0
+    # packed single-array companion must be bit-identical to the dict step
+    flat = step.pack_batch(feats, labels, mask)
+    pp, _op, lp = step.packed(params, opt_state, flat, key)
+    assert float(lp) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(pp),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_train_e2e_learns(tmp_path):
