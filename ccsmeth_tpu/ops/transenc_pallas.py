@@ -11,17 +11,32 @@ per-layer weights once per batch tile, and a (B, d) mean-pooled output.
 
 Attention is the hard part: per-sample (21x64)@(64x21) matmuls utilize ~2.7%
 of the MXU, and the VPU broadcast-reduce alternative measures ~2ms/layer at
-B=4096 — both dead ends. Instead, samples are packed block-diagonally: PACK=6
-samples stack to 126 rows (one MXU tile), one dense 126x126 scores matmul per
-(pack, head) computes all six samples' scores at 1.5x the exact MAC count but
-at full MXU density, and an additive block mask (-1e9 off-block) makes the
-softmax over 126 columns exactly the per-sample softmax over 21 (after the
-row-max subtraction the off-block terms underflow to exp(..) == 0).
+B=4096 — both dead ends. Instead, samples are packed block-diagonally: PACK
+samples stack to PACK*21 rows (PACK=6 -> 126, one MXU tile), one dense
+126x126 scores matmul per (pack, head) computes all six samples' scores at
+1.5x the exact MAC count but at full MXU density, and an additive block mask
+(-1e9 off-block) makes the softmax over 126 columns exactly the per-sample
+softmax over 21 (after the row-max subtraction the off-block terms underflow
+to exp(..) == 0).
+
+Three interchangeable attention formulations (same math, different layouts —
+measured by ops_experiments/transenc_kernel_ablate.py; the default is the
+fastest measured on v5e):
+  packed    — per-head lane slices of the fused qkv activation, one batched
+              (npacks, PL, PL) dot pair per head (8 dots/layer).
+  stackhead — heads folded into the dot batch dim by an axis-0 concat of the
+              same lane slices: ONE batched dot pair per layer over
+              NH*npacks instances.
+  wsplit    — per-head q/k/v computed from pre-split weight matrices
+              (D x HD each): no activation lane slices at all; per-head
+              context folds into a row-split output projection and
+              accumulates. Same MACs, more smaller matmuls.
 
 Semantics match models/transenc.py `_encoder` + mean pool (torch
 TransformerEncoder post-LN semantics, /root/reference/ccsmeth/models.py:
-451-620); parity is gated by tests/test_transenc_pallas.py. Inference-only
-(dropout-free) — training uses the XLA path, as the reference trains in torch.
+451-620); parity is gated by tests/test_transenc_pallas.py for every
+formulation. Inference-only (dropout-free) — training uses the XLA path, as
+the reference trains in torch.
 """
 
 from __future__ import annotations
@@ -36,6 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PACK = 6  # samples per block-diagonal attention pack: 6*21 = 126 <= 128
+ATTN_IMPL = "packed"  # fastest measured formulation (see module docstring)
 
 
 def _stack_layer_params(layers: list[dict]) -> dict:
@@ -59,93 +75,175 @@ def _stack_layer_params(layers: list[dict]) -> dict:
     return out
 
 
-def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
-                         npacks: int, compute_dtype):
+def _split_head_weights(stacked: dict, NH: int) -> dict:
+    """wsplit weight layout: (NL, D, 3D) wqkv -> per-head (NL, NH, D, HD)
+    wq/wk/wv + (NL, NH, HD) biases, and (NL, NH, HD, D) row-split wo."""
+    NL, D, _ = stacked["wqkv"].shape
     HD = D // NH
-    R = npacks * PACK * L  # rows per tile
-    PL_ROWS = PACK * L
+    out = {}
+    for i, nm in enumerate(("wq", "wk", "wv")):
+        w = stacked["wqkv"][:, :, i * D:(i + 1) * D]
+        out[nm] = w.reshape(NL, D, NH, HD).transpose(0, 2, 1, 3)
+        b = stacked["bqkv"][:, i * D:(i + 1) * D]
+        out["b" + nm[1]] = b.reshape(NL, NH, HD)
+    out["wo_h"] = stacked["wo"].reshape(NL, NH, HD, D)
+    for k in ("bo", "w1", "b1", "w2", "b2", "ln1s", "ln1b", "ln2s", "ln2b"):
+        out[k] = stacked[k]
+    return out
+
+
+def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
+                         npacks: int, compute_dtype, attn_impl: str,
+                         pack: int):
+    HD = D // NH
+    R = npacks * pack * L  # rows per tile
+    PL_ROWS = pack * L
     inv_sqrt = 1.0 / math.sqrt(HD)
+    cd = compute_dtype
+
+    def block_mask():
+        rb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 0) // L
+        cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
+        return jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
+
+    def ln(y, scale, bias):
+        mu = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
+        return (y - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+    def ffn_ln(x, a, bo, ln1s, ln1b, w1, b1, w2, b2, ln2s, ln2b):
+        x = ln(x + a + bo, ln1s, ln1b)
+        h1 = jnp.maximum(jnp.dot(x.astype(cd), w1.astype(cd),
+                                 preferred_element_type=jnp.float32) + b1, 0.0)
+        h2 = jnp.dot(h1.astype(cd), w2.astype(cd),
+                     preferred_element_type=jnp.float32) + b2
+        return ln(x + h2, ln2s, ln2b)
+
+    def bdot(a, b, transpose_rhs):
+        dims = (((2,), (2 if transpose_rhs else 1,)), ((0,), (0,)))
+        return jax.lax.dot_general(a.astype(cd), b.astype(cd), dims,
+                                   preferred_element_type=jnp.float32)
+
+    if attn_impl == "wsplit":
+        def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+                   wo_ref, bo_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref, out_ref):
+            mask = block_mask()
+            x = x_ref[...].astype(jnp.float32)
+            for layer in range(NL):
+                xc = x.astype(cd)
+                ctx_sum = None
+                for h in range(NH):
+                    q = (jnp.dot(xc, wq_ref[layer, h],
+                                 preferred_element_type=jnp.float32)
+                         + bq_ref[layer, h]).reshape(npacks, PL_ROWS, HD)
+                    k = (jnp.dot(xc, wk_ref[layer, h],
+                                 preferred_element_type=jnp.float32)
+                         + bk_ref[layer, h]).reshape(npacks, PL_ROWS, HD)
+                    v = (jnp.dot(xc, wv_ref[layer, h],
+                                 preferred_element_type=jnp.float32)
+                         + bv_ref[layer, h]).reshape(npacks, PL_ROWS, HD)
+                    w = jax.nn.softmax(bdot(q, k, True) * inv_sqrt + mask[None],
+                                       axis=-1)
+                    ctx_h = bdot(w, v, False)
+                    part = jnp.dot(ctx_h.reshape(R, HD).astype(cd),
+                                   wo_ref[layer, h],
+                                   preferred_element_type=jnp.float32)
+                    ctx_sum = part if ctx_sum is None else ctx_sum + part
+                x = ffn_ln(x, ctx_sum, bo_ref[layer], ln1s_ref[layer],
+                           ln1b_ref[layer], w1_ref[layer], b1_ref[layer],
+                           w2_ref[layer], b2_ref[layer], ln2s_ref[layer],
+                           ln2b_ref[layer])
+            out_ref[...] = jnp.mean(x.reshape(npacks * pack, L, D), axis=1)
+
+        return kernel
 
     def kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, w1_ref, b1_ref,
                w2_ref, b2_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                out_ref):
-        # block-diagonal additive mask (PL_ROWS, PL_ROWS)
-        rb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 0) // L
-        cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
-        mask = jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
-
-        def ln(y, scale, bias):
-            mu = jnp.mean(y, axis=-1, keepdims=True)
-            var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
-            return (y - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
-
+        mask = block_mask()
         x = x_ref[...].astype(jnp.float32)  # (R, D)
         for layer in range(NL):
-            qkv = jnp.dot(x.astype(compute_dtype),
-                          wqkv_ref[layer].astype(compute_dtype),
+            qkv = jnp.dot(x.astype(cd), wqkv_ref[layer].astype(cd),
                           preferred_element_type=jnp.float32) + bqkv_ref[layer]
             qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
-            ctx_heads = []
-            for h in range(NH):
-                q = qkv_p[:, :, h * HD:(h + 1) * HD]
-                k = qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
-                v = qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
-                s = jax.lax.dot_general(
-                    q.astype(compute_dtype), k.astype(compute_dtype),
-                    (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-                w = jax.nn.softmax(s * inv_sqrt + mask[None], axis=-1)
-                ctx_heads.append(jax.lax.dot_general(
-                    w.astype(compute_dtype), v.astype(compute_dtype),
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32))
-            ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(R, D)
-            a = jnp.dot(ctx.astype(compute_dtype),
-                        wo_ref[layer].astype(compute_dtype),
-                        preferred_element_type=jnp.float32) + bo_ref[layer]
-            x = ln(x + a, ln1s_ref[layer], ln1b_ref[layer])
-            h1 = jnp.dot(x.astype(compute_dtype),
-                         w1_ref[layer].astype(compute_dtype),
-                         preferred_element_type=jnp.float32) + b1_ref[layer]
-            h1 = jnp.maximum(h1, 0.0)
-            h2 = jnp.dot(h1.astype(compute_dtype),
-                         w2_ref[layer].astype(compute_dtype),
-                         preferred_element_type=jnp.float32) + b2_ref[layer]
-            x = ln(x + h2, ln2s_ref[layer], ln2b_ref[layer])
-        # per-sample mean over L: (R, D) -> (npacks*PACK, L, D) -> mean
-        out_ref[...] = jnp.mean(x.reshape(npacks * PACK, L, D), axis=1)
+            if attn_impl == "stackhead":
+                # heads folded into the dot batch dim via axis-0 concat
+                # (2D-friendly; no 5D transpose): one dot pair per layer
+                # over NH*npacks batched instances
+                q = jnp.concatenate(
+                    [qkv_p[:, :, h * HD:(h + 1) * HD] for h in range(NH)], 0)
+                k = jnp.concatenate(
+                    [qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                     for h in range(NH)], 0)
+                v = jnp.concatenate(
+                    [qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                     for h in range(NH)], 0)
+                w = jax.nn.softmax(bdot(q, k, True) * inv_sqrt + mask[None],
+                                   axis=-1)
+                ctx_f = bdot(w, v, False)
+                ctx = jnp.concatenate(
+                    [ctx_f[h * npacks:(h + 1) * npacks] for h in range(NH)],
+                    -1).reshape(R, D)
+            else:  # "packed"
+                heads = []
+                for h in range(NH):
+                    q = qkv_p[:, :, h * HD:(h + 1) * HD]
+                    k = qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                    v = qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                    w = jax.nn.softmax(bdot(q, k, True) * inv_sqrt + mask[None],
+                                       axis=-1)
+                    heads.append(bdot(w, v, False))
+                ctx = jnp.concatenate(heads, axis=-1).reshape(R, D)
+            a = jnp.dot(ctx.astype(cd), wo_ref[layer].astype(cd),
+                        preferred_element_type=jnp.float32)
+            x = ffn_ln(x, a, bo_ref[layer], ln1s_ref[layer], ln1b_ref[layer],
+                       w1_ref[layer], b1_ref[layer], w2_ref[layer],
+                       b2_ref[layer], ln2s_ref[layer], ln2b_ref[layer])
+        # per-sample mean over L: (R, D) -> (npacks*pack, L, D) -> mean
+        out_ref[...] = jnp.mean(x.reshape(npacks * pack, L, D), axis=1)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("L", "NH", "npacks",
-                                             "compute_dtype", "interpret"))
-def _encoder_call(x, stacked, L, NH, npacks, compute_dtype, interpret):
+                                             "compute_dtype", "interpret",
+                                             "attn_impl", "pack"))
+def _encoder_call(x, stacked, L, NH, npacks, compute_dtype, interpret,
+                  attn_impl=ATTN_IMPL, pack=PACK):
     """x: (B, L, D) embedded+positioned input -> (B, D) mean-pooled encoding.
 
-    B is padded here to a multiple of PACK*npacks (pad rows cost compute but
+    B is padded here to a multiple of pack*npacks (pad rows cost compute but
     never mix with real samples: attention is block-diagonal per sample)."""
     B, L_, D = x.shape
     NL = stacked["wqkv"].shape[0]
     FF = stacked["w1"].shape[-1]
-    tile_samples = PACK * npacks
+    tile_samples = pack * npacks
     Bp = -(-B // tile_samples) * tile_samples
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-    R = npacks * PACK * L
+    R = npacks * pack * L
     x_rows = x.reshape(Bp * L, D)
-    kernel = _make_encoder_kernel(NL, L, D, NH, FF, npacks, compute_dtype)
+    kernel = _make_encoder_kernel(NL, L, D, NH, FF, npacks, compute_dtype,
+                                  attn_impl, pack)
+    wdtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32)
+    if attn_impl == "wsplit":
+        sw = _split_head_weights(stacked, NH)
+        names = ("wq", "wk", "wv", "bq", "bk", "bv", "wo_h", "bo",
+                 "w1", "b1", "w2", "b2", "ln1s", "ln1b", "ln2s", "ln2b")
+        weights = [sw[n].astype(wdtype if n.startswith("w") else jnp.float32)
+                   for n in names]
+    else:
+        names = ("wqkv", "bqkv", "wo", "bo", "w1", "b1", "w2", "b2",
+                 "ln1s", "ln1b", "ln2s", "ln2b")
+        weights = [stacked[n].astype(wdtype if n.startswith("w")
+                                     else jnp.float32) for n in names]
 
     def wspec(arr):
         shp = arr.shape
         return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
                             memory_space=pltpu.VMEM)
 
-    names = ("wqkv", "bqkv", "wo", "bo", "w1", "b1", "w2", "b2",
-             "ln1s", "ln1b", "ln2s", "ln2b")
-    wdtype = (jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32)
-    weights = [stacked[n].astype(wdtype if n.startswith("w") else jnp.float32)
-               for n in names]
     out = pl.pallas_call(
         kernel,
         grid=(Bp // tile_samples,),
@@ -163,7 +261,8 @@ def _encoder_call(x, stacked, L, NH, npacks, compute_dtype, interpret):
 
 
 def encoder_pooled_pallas(params: dict, cfg, x, compute_dtype=jnp.float32,
-                          npacks: int = 8, interpret: bool | None = None):
+                          npacks: int = 8, interpret: bool | None = None,
+                          attn_impl: str = ATTN_IMPL, pack: int = PACK):
     """Fused encoder + mean pool: x (B, L, d_model) -> (B, d_model).
 
     Drop-in for models/transenc.py `_encoder(...)` followed by
@@ -173,4 +272,4 @@ def encoder_pooled_pallas(params: dict, cfg, x, compute_dtype=jnp.float32,
         interpret = jax.default_backend() not in ("tpu", "axon")
     stacked = _stack_layer_params(params["layers"])
     return _encoder_call(x, stacked, cfg.seq_len, cfg.nhead, npacks,
-                         compute_dtype, interpret)
+                         compute_dtype, interpret, attn_impl, pack)

@@ -7,6 +7,7 @@ bench.py's numerics mode on the real chip."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ccsmeth_tpu.models.config import TransEncConfig
 from ccsmeth_tpu.models.transenc import (_encoder, _strand_embed,
@@ -39,6 +40,25 @@ def test_encoder_kernel_matches_xla():
                                        False), axis=1))
     got = np.asarray(encoder_pooled_pallas(params, cfg, jnp.asarray(x),
                                            interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("attn_impl,pack,npacks", [
+    ("stackhead", 6, 8), ("wsplit", 6, 8), ("packed", 12, 4),
+    ("stackhead", 12, 4)])
+def test_encoder_attn_formulations_match_xla(attn_impl, pack, npacks):
+    """Every attention formulation/pack-size of the fused kernel is the same
+    math as the XLA encoder (formulations differ only in MXU layout)."""
+    cfg = TransEncConfig(dropout_rate=0.0)
+    params = init_transenc(11, cfg)
+    B = pack * npacks
+    x = np.random.RandomState(3).randn(B, cfg.seq_len, cfg.d_model).astype(
+        np.float32) * 0.4
+    ref = np.asarray(jnp.mean(_encoder(params, cfg, jnp.asarray(x), None,
+                                       False), axis=1))
+    got = np.asarray(encoder_pooled_pallas(
+        params, cfg, jnp.asarray(x), interpret=True, attn_impl=attn_impl,
+        pack=pack, npacks=npacks))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
