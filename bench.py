@@ -311,7 +311,8 @@ def main():
         print(json.dumps({"numerics": bench_numerics()}))
         return
     if mode == "e2e":
-        print(json.dumps({"e2e": bench_e2e_stream()}))
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+        print(json.dumps({"e2e": bench_e2e_stream(batch=batch)}))
         return
 
     from ccsmeth_tpu.models import AttRNNConfig

@@ -212,6 +212,36 @@ def make_kernel(NL, L, D, NH, npacks, cd, attn, pack=PACK):
                 ctx = jnp.concatenate(
                     [ctx_f[h * nsite:(h + 1) * nsite] for h in range(NH)],
                     -1).reshape(R, D)
+            elif attn == "headrows":
+                # heads folded into the M/N dims: one dense (4*PL x 4*PL)
+                # score dot per pack (batch npacks). 2x the MACs of `full`
+                # but in MXU-sized tiles; mask r//L == c//L keeps exactly the
+                # (same head, same sample) blocks (row order is (head, sample,
+                # position), so r//L enumerates (head, sample) pairs).
+                qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
+                q_all = jnp.concatenate(
+                    [qkv_p[:, :, h * HD:(h + 1) * HD] for h in range(NH)], 1)
+                k_all = jnp.concatenate(
+                    [qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                     for h in range(NH)], 1)
+                v_all = jnp.concatenate(
+                    [qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                     for h in range(NH)], 1)
+                RH = NH * PL_ROWS
+                rbig = jax.lax.broadcasted_iota(jnp.int32, (RH, RH), 0) // L
+                cbig = jax.lax.broadcasted_iota(jnp.int32, (RH, RH), 1) // L
+                mbig = jnp.where(rbig == cbig, 0.0, -1e9).astype(jnp.float32)
+                s = jax.lax.dot_general(
+                    q_all.astype(cd), k_all.astype(cd),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(s * inv_sqrt + mbig[None], axis=-1)
+                ctx_f = jax.lax.dot_general(
+                    w.astype(cd), v_all.astype(cd), (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ctx = jnp.concatenate(
+                    [ctx_f[:, h * PL_ROWS:(h + 1) * PL_ROWS] for h in range(NH)],
+                    -1).reshape(R, D)
             elif attn == "headfold":
                 qkv_h = qkv.reshape(npacks, PL_ROWS, 3, NH, HD)
                 # (npacks, PL, 3, NH, HD) -> (3, NH, npacks, PL, HD)
@@ -332,7 +362,8 @@ def main():
     ref = np.asarray(run(x, stacked, 8, "full", jnp.float32))
     variants = sys.argv[2].split(",") if len(sys.argv) > 2 else (
         "full", "none", "slice", "headfold")
-    exact = ("full", "headfold", "nomax", "stackhead", "sitebatch", "wsplit")
+    exact = ("full", "headfold", "nomax", "stackhead", "sitebatch", "wsplit",
+             "headrows")
     for spec in variants:
         # "wsplit@12x4" = attn wsplit, PACK 12, npacks 4 (tile stays 48)
         if "@" in spec:
