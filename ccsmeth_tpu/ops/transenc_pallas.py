@@ -31,6 +31,8 @@ fastest measured on v5e):
               (D x HD each): no activation lane slices at all; per-head
               context folds into a row-split output projection and
               accumulates. Same MACs, more smaller matmuls.
+  headrows  — heads folded into the M/N dims: one dense (NH*PACK*L)^2 score
+              dot per pack, 2x the exact MACs but MXU-sized tiles.
 
 Semantics match models/transenc.py `_encoder` + mean pool (torch
 TransformerEncoder post-LN semantics, /root/reference/ccsmeth/models.py:
@@ -167,7 +169,30 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
             qkv = jnp.dot(x.astype(cd), wqkv_ref[layer].astype(cd),
                           preferred_element_type=jnp.float32) + bqkv_ref[layer]
             qkv_p = qkv.reshape(npacks, PL_ROWS, 3 * D)
-            if attn_impl == "stackhead":
+            if attn_impl == "headrows":
+                # heads folded into the M/N dims: one dense (NH*PL)^2 score
+                # dot per pack — 2x the exact MACs but MXU-sized tiles. Row
+                # order is (head, sample, position), so the r//L == c//L mask
+                # keeps exactly the (same head, same sample) blocks.
+                q = jnp.concatenate(
+                    [qkv_p[:, :, h * HD:(h + 1) * HD] for h in range(NH)], 1)
+                k = jnp.concatenate(
+                    [qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
+                     for h in range(NH)], 1)
+                v = jnp.concatenate(
+                    [qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
+                     for h in range(NH)], 1)
+                RH = NH * PL_ROWS
+                rb = jax.lax.broadcasted_iota(jnp.int32, (RH, RH), 0) // L
+                cb = jax.lax.broadcasted_iota(jnp.int32, (RH, RH), 1) // L
+                mbig = jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
+                w = jax.nn.softmax(bdot(q, k, True) * inv_sqrt + mbig[None],
+                                   axis=-1)
+                ctx_f = bdot(w, v, False)
+                ctx = jnp.concatenate(
+                    [ctx_f[:, h * PL_ROWS:(h + 1) * PL_ROWS]
+                     for h in range(NH)], -1).reshape(R, D)
+            elif attn_impl == "stackhead":
                 # heads folded into the dot batch dim via axis-0 concat
                 # (2D-friendly; no 5D transpose): one dot pair per layer
                 # over NH*npacks batched instances

@@ -49,8 +49,8 @@ def bench(fn, x, iters=10):
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8064
     specs = (sys.argv[2].split(",") if len(sys.argv) > 2 else
-             ("packed@6x8", "stackhead@6x8", "wsplit@6x8", "packed@12x4",
-              "stackhead@12x4"))
+             ("packed@6x8", "stackhead@6x8", "wsplit@6x8", "headrows@6x8",
+              "packed@12x4", "stackhead@12x4", "packed@6x16"))
     cfg = TransEncConfig(dropout_rate=0.0)
     params = jax.device_put(init_transenc(3, cfg))
     x = jax.device_put(np.random.RandomState(0).randn(
