@@ -305,8 +305,39 @@ def bench_torch_reference(batch: int = 512, iters: int = 3) -> float | None:
         return None
 
 
+def _arm_backend_watchdog(seconds: float = 900.0):
+    """Fail loudly instead of hanging forever when the accelerator runtime is
+    unreachable: backend init on a remote-attached device can block
+    indefinitely inside a C call (observed: jax.devices() hung >30 min during
+    a tunnel outage), which no Python-level timeout can interrupt. The
+    watchdog hard-exits after printing a JSON error line the driver can parse.
+    Returns a disarm() callable — call it once the first device op completes."""
+    import os
+    import threading
+
+    def blow():
+        print(json.dumps({"metric": "error", "value": 0, "unit": "",
+                          "vs_baseline": 0,
+                          "extra": {"error": "accelerator backend init "
+                                    "unreachable after {}s".format(seconds)}}),
+              flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, blow)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+    disarm = _arm_backend_watchdog()
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+    float(jnp.ones((2, 2)).sum())  # backend up + first executable round-trip
+    disarm()
     if mode == "numerics":
         print(json.dumps({"numerics": bench_numerics()}))
         return
