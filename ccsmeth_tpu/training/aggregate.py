@@ -101,15 +101,29 @@ def train_aggregate(cfg: AggreTrainConfig) -> dict:
         se = (out - labels) ** 2 * mask
         return jnp.sum(se) / jnp.maximum(jnp.sum(mask), 1.0)
 
+    # one (B, L + L*bins + 2) fp32 array per step instead of 4 device_puts —
+    # the aggregate model's steps are tiny, so fixed-latency put RPCs dominate
+    # on remote-attached devices (same rationale as train.py's packed batch)
+    L, NB = cfg.seq_len, cfg.bin_size
+
+    def _unpack(flat):
+        offsets = flat[:, :L]
+        histos = flat[:, L:L + L * NB].reshape(-1, L, NB)
+        labels = flat[:, L + L * NB]
+        mask = flat[:, L + L * NB + 1]
+        return offsets, histos, labels, mask
+
     @jax.jit
-    def train_step(params, opt_state, offsets, histos, labels, mask, rng):
+    def train_step(params, opt_state, flat, rng):
+        offsets, histos, labels, mask = _unpack(flat)
         loss, grads = jax.value_and_grad(loss_fn)(params, offsets, histos, labels,
                                                   mask, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     @jax.jit
-    def eval_step(params, offsets, histos, labels, mask):
+    def eval_step(params, flat):
+        offsets, histos, labels, mask = _unpack(flat)
         out = apply_aggr_attrnn(params, model_cfg, offsets, histos)[:, 0]
         out = jnp.clip(out, 0, 1)
         se = (out - labels) ** 2 * mask
@@ -123,16 +137,12 @@ def train_aggregate(cfg: AggreTrainConfig) -> dict:
         for s in range(0, n, cfg.batch_size):
             sel = idx[s : s + cfg.batch_size]
             nv = len(sel)
-            off = np.zeros((pad_n, cfg.seq_len), np.float32)
-            his = np.zeros((pad_n, cfg.seq_len, cfg.bin_size), np.float32)
-            lab = np.zeros(pad_n, np.float32)
-            mask = np.zeros(pad_n, np.float32)
-            off[:nv] = data["offsets"][sel]
-            his[:nv] = data["histos"][sel]
-            lab[:nv] = data["labels"][sel]
-            mask[:nv] = 1.0
-            yield (jax.device_put(off, bsp), jax.device_put(his, bsp),
-                   jax.device_put(lab, bsp), jax.device_put(mask, bsp))
+            flat = np.zeros((pad_n, L + L * NB + 2), np.float32)
+            flat[:nv, :L] = data["offsets"][sel]
+            flat[:nv, L:L + L * NB] = data["histos"][sel].reshape(nv, -1)
+            flat[:nv, L + L * NB] = data["labels"][sel]
+            flat[:nv, L + L * NB + 1] = 1.0
+            yield jax.device_put(flat, bsp)
 
     params = jax.device_put(params, rep)
     sched = LrSchedule(cfg.lr_scheduler, cfg.lr, cfg.lr_decay, cfg.lr_decay_step)
@@ -144,14 +154,13 @@ def train_aggregate(cfg: AggreTrainConfig) -> dict:
     for epoch in range(cfg.max_epoch_num):
         no_best = True
         tlosses = []
-        for i, (off, his, lab, mask) in enumerate(batches(train, True, nprng)):
+        for i, flat in enumerate(batches(train, True, nprng)):
             rng, sub = jax.random.split(rng)
-            params, opt_state, loss = train_step(params, opt_state, off, his, lab,
-                                                 mask, sub)
+            params, opt_state, loss = train_step(params, opt_state, flat, sub)
             tlosses.append(float(loss))
         sse = cnt = 0.0
-        for off, his, lab, mask in batches(valid, False, nprng):
-            s, c = eval_step(params, off, his, lab, mask)
+        for flat in batches(valid, False, nprng):
+            s, c = eval_step(params, flat)
             sse += float(s)
             cnt += float(c)
         rmse = float(np.sqrt(sse / max(cnt, 1.0)))
