@@ -126,6 +126,19 @@ def _encoder(params, cfg: TransEncConfig, x, dropout_rng, train, cd=jnp.float32)
 
 def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
                   cd=jnp.float32, backend="xla"):
+    x, dropout_rng = _embed_strand_input(params, cfg, f, suffix, dropout_rng,
+                                         train)
+    if backend == "pallas" and not train:
+        from ..ops.transenc_pallas import encoder_pooled_pallas
+
+        return encoder_pooled_pallas(params, cfg, x, compute_dtype=cd)
+    x = _encoder(params, cfg, x, dropout_rng, train, cd)
+    return jnp.mean(x, axis=1)  # (N, d) (models.py:601,615)
+
+
+def _embed_strand_input(params, cfg: TransEncConfig, f, suffix, dropout_rng,
+                        train):
+    """One strand's embedded + positioned encoder input (N, L, d_model)."""
     L = cfg.seq_len
     parts = [
         jnp.take(params["seq_embed"], f["kmer" + suffix].astype(jnp.int32), axis=0),
@@ -152,12 +165,7 @@ def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
     if train:
         dropout_rng, sub = jax.random.split(dropout_rng)
         x = _dropout(x, cfg.dropout_rate, sub)
-    if backend == "pallas" and not train:
-        from ..ops.transenc_pallas import encoder_pooled_pallas
-
-        return encoder_pooled_pallas(params, cfg, x, compute_dtype=cd)
-    x = _encoder(params, cfg, x, dropout_rng, train, cd)
-    return jnp.mean(x, axis=1)  # (N, d) (models.py:601,615)
+    return x, dropout_rng
 
 
 def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
@@ -169,10 +177,24 @@ def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
     rng1 = rng2 = rng3 = None
     if dropout_rng is not None:
         rng1, rng2, rng3 = jax.random.split(dropout_rng, 3)
-    out1 = _strand_embed(params, cfg, feats, "", rng1, train, compute_dtype,
-                         backend)
-    out2 = _strand_embed(params, cfg, feats, "2", rng2, train, compute_dtype,
-                         backend)
+    if backend == "pallas" and not train:
+        # both strands share the encoder weights, so they batch into ONE
+        # fused-kernel call: half the pallas_call dispatches, 2x the grid to
+        # amortize weight residency per tile
+        from ..ops.transenc_pallas import encoder_pooled_pallas
+
+        x1, _ = _embed_strand_input(params, cfg, feats, "", rng1, train)
+        x2, _ = _embed_strand_input(params, cfg, feats, "2", rng2, train)
+        B = x1.shape[0]
+        pooled = encoder_pooled_pallas(params, cfg,
+                                       jnp.concatenate([x1, x2], axis=0),
+                                       compute_dtype=compute_dtype)
+        out1, out2 = pooled[:B], pooled[B:]
+    else:
+        out1 = _strand_embed(params, cfg, feats, "", rng1, train, compute_dtype,
+                             backend)
+        out2 = _strand_embed(params, cfg, feats, "2", rng2, train, compute_dtype,
+                             backend)
     out = jnp.concatenate([out1, out2], axis=1)
     c0p, c1p = params["classifier"]
     out = jax.nn.relu(jnp.dot(out, c0p["w"], preferred_element_type=jnp.float32) + c0p["b"])
