@@ -265,6 +265,24 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     while pending:
         collected += predict.collect(pending.popleft()).shape[0]
     out["resident_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
+    # (c) threaded dispatch: puts issued from 2 worker threads — if this beats
+    # the serial packed stream the link multiplexes RPCs and deeper host-side
+    # pipelining has headroom; if equal, the link serializes and packing is
+    # the whole story
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending = deque()
+    collected = 0
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for i in range(n_batches):
+            pending.append(ex.submit(predict.dispatch,
+                                     host_batches[i % len(host_batches)]))
+            while len(pending) > depth:
+                collected += predict.collect(pending.popleft().result()).shape[0]
+        while pending:
+            collected += predict.collect(pending.popleft().result()).shape[0]
+    out["threaded_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
     return out
 
 
