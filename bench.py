@@ -367,7 +367,13 @@ def main():
     from ccsmeth_tpu.models import AttRNNConfig
 
     extra: dict = {}
+    on_accel = jax.default_backend() in ("tpu", "axon")
     try:
+        if not on_accel:
+            # pallas off-TPU silently runs interpret mode (hours at batch
+            # 8192) rather than raising — route to the XLA path explicitly
+            raise RuntimeError("no TPU backend ({})".format(
+                jax.default_backend()))
         sites_per_s = bench_jax(backend="pallas", precision="bf16")
     except Exception as e:  # noqa: BLE001 — pallas unavailable (e.g. CPU-only run)
         print("pallas path unavailable ({}), falling back to xla".format(e),
