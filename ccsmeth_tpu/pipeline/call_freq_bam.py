@@ -213,12 +213,19 @@ class AggrPredictor:
         self._n_dev = mesh.devices.size
         self.PAD = -(-self.PAD // self._n_dev) * self._n_dev
 
+        L, NB = cfg.seq_len, cfg.bin_size
+
+        # one (PAD, L + L*bins) fp32 put per batch instead of two (fixed-
+        # latency RPCs dominate on remote-attached devices)
         @jax.jit
-        def _fwd(offsets, histos):
+        def _fwd(flat):
+            offsets = flat[:, :L]
+            histos = flat[:, L:].reshape(-1, L, NB)
             return apply_aggr_attrnn(params, acfg, offsets, histos)
 
         self._fwd = _fwd
         self._bsp = bsp
+        self._L = L
 
     def predict(self, offsets: np.ndarray, histos: np.ndarray) -> np.ndarray:
         """offsets (N, L), histos (N, L, binsize) -> probs (N,) rounded/clipped like
@@ -226,18 +233,18 @@ class AggrPredictor:
         import jax
 
         N = len(offsets)
+        L = offsets.shape[1]
         # float32 end-to-end: the reference keeps torch's float32 logits through
         # round/clip and the freq.txt strings inherit float32 repr (lines 302,402)
         out = np.empty(N, dtype=np.float32)
         for s in range(0, N, self.PAD):
             e = min(s + self.PAD, N)
             n = e - s
-            off = np.zeros((self.PAD, offsets.shape[1]), np.float32)
-            his = np.zeros((self.PAD,) + histos.shape[1:], np.float32)
-            off[:n] = offsets[s:e]
-            his[:n] = histos[s:e]
-            res = np.asarray(self._fwd(jax.device_put(off, self._bsp),
-                                       jax.device_put(his, self._bsp)))
+            flat = np.zeros((self.PAD, L + histos.shape[1] * histos.shape[2]),
+                            np.float32)
+            flat[:n, :L] = offsets[s:e]
+            flat[:n, L:] = histos[s:e].reshape(n, -1)
+            res = np.asarray(self._fwd(jax.device_put(flat, self._bsp)))
             out[s:e] = np.round(np.clip(res[:n, 0], 0, 1), 6)
         return out
 
