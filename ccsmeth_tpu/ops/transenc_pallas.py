@@ -295,6 +295,26 @@ def encoder_pooled_pallas(params: dict, cfg, x, compute_dtype=jnp.float32,
     interpreter mode off-TPU (CI runs CPU)."""
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
-    stacked = _stack_layer_params(params["layers"])
-    return _encoder_call(x, stacked, cfg.seq_len, cfg.nhead, npacks,
-                         compute_dtype, interpret, attn_impl, pack)
+    return _encoder_call(x, _stacked_params(params), cfg.seq_len, cfg.nhead,
+                         npacks, compute_dtype, interpret, attn_impl, pack)
+
+
+_STACK_MEMO: dict = {}
+
+
+def _stacked_params(params: dict) -> dict:
+    """Memoized _stack_layer_params for eager callers: the stacked dict
+    depends only on the params object, so repeated eager forwards (e.g. bench
+    numerics sweeps) reuse it. Inside a jit trace the leaves are tracers and
+    stacking stays part of the traced graph (one concat per call — measured
+    negligible: ~5 MB against ~40 ms of kernel time per batch)."""
+    layers = params["layers"]
+    if isinstance(layers[0]["wq"], jax.core.Tracer):
+        return _stack_layer_params(layers)
+    hit = _STACK_MEMO.get(id(layers))
+    if hit is not None and hit[0] is layers:
+        return hit[1]
+    stacked = _stack_layer_params(layers)
+    _STACK_MEMO.clear()  # single entry: params objects are long-lived
+    _STACK_MEMO[id(layers)] = (layers, stacked)
+    return stacked

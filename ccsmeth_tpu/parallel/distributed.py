@@ -69,27 +69,41 @@ def psum_site_counts(local_counts: np.ndarray, mesh: Mesh | None = None
     workers (/root/reference/ccsmeth/call_mods_freq_bam.py:597-677) and for
     `reduce_mean` (train_multigpu.py:46-50), riding ICI/DCN instead of NCCL.
 
-    Multi-process-correct by construction: the global (world*n, k) array is
-    assembled with jax.make_array_from_process_local_data — each process
-    supplies only its addressable shards (its partial in the first local-device
-    shard, zeros in the rest), the same pattern as the training loop's global
-    batch assembly (training/train.py to_global) — then one psum over the
-    'data' mesh axis reconstitutes the summed table on every shard.
+    Multi-process-correct by construction: the merge runs over a ONE-DEVICE-
+    PER-PROCESS sub-mesh (there is one partial table per process, not per
+    device), so each process's table IS its shard — no zero-padding by the
+    local device count. The global (n_proc*n, k) array is assembled with
+    jax.make_array_from_process_local_data (the same pattern as the training
+    loop's global batch assembly, training/train.py to_global), then one psum
+    over the 'data' mesh axis reconstitutes the summed table on every shard.
     """
     if mesh is None:
         from .mesh import data_mesh
 
         mesh = data_mesh()
     local_counts = np.ascontiguousarray(local_counts, np.float32)
-    world = mesh.devices.size
+    mmesh = _merge_mesh_from(mesh)
+    world = mmesh.devices.size  # == number of participating processes
     if world == 1:
         return local_counts
     n, k = local_counts.shape
-    n_local = world // max(jax.process_count(), 1)
-    local_block = np.zeros((n_local * n, k), np.float32)
-    local_block[:n] = local_counts
-    sharding = NamedSharding(mesh, P("data"))
-    global_arr = jax.make_array_from_process_local_data(sharding, local_block,
+    sharding = NamedSharding(mmesh, P("data"))
+    global_arr = jax.make_array_from_process_local_data(sharding, local_counts,
                                                         (world * n, k))
-    merged = _psum_merge_fn(mesh)(global_arr)
+    merged = _psum_merge_fn(mmesh)(global_arr)
     return np.asarray(merged.addressable_shards[0].data)
+
+
+@functools.lru_cache(maxsize=4)
+def _merge_mesh_cached(mesh: Mesh) -> Mesh:
+    by_proc: dict = {}
+    for d in mesh.devices.flat:
+        by_proc.setdefault(d.process_index, d)
+    devs = [by_proc[p] for p in sorted(by_proc)]
+    return Mesh(np.asarray(devs), ("data",))
+
+
+def _merge_mesh_from(mesh: Mesh) -> Mesh:
+    """One device per participating process, in process order — the natural
+    mesh for merging per-PROCESS partial tables."""
+    return _merge_mesh_cached(mesh)

@@ -462,10 +462,13 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
             continue
         if rec.mapq < cfg.mapq:
             continue
-        if compute_pct_identity(rec.get_cigar_stats()) < cfg.identity:
-            continue
+        # ownership check BEFORE the cigar-stats walk: in sharded/dist mode
+        # every rank scans the full BAM, so (P-1)/P of reads drop here and
+        # must not pay the per-read identity computation first
         if read_shard is not None and not owns_read(rec.qname, read_shard[0],
                                                     read_shard[1]):
+            continue
+        if compute_pct_identity(rec.get_cigar_stats()) < cfg.identity:
             continue
         if owned_regions is not None:
             spans = owned_regions.get(contig)
@@ -568,19 +571,25 @@ def _dist_emit_chunks(cfg: FreqBamConfig, accs: dict, sorted_acc: dict,
     # +1: combining can land a row at ref_start-1 (index 0)
     max_span = cfg.chunk_len + 2
 
-    chunk_tables = []
+    # presence from the accumulator index spans alone — building the per-chunk
+    # site tables here would hold every chunk's table (and, with CG combining,
+    # a second copy of the whole accumulator) in memory for the entire emit
+    # loop; only one chunk's table is ever needed at a time (built below)
     presence = np.zeros((len(ref_chunks), 1), np.float32)
     for i, (contig, s, e) in enumerate(ref_chunks):
-        tables = _chunk_site_tables(accs, sorted_acc, contig, s, e, combine)
-        presence[i, 0] = len(tables[0]) + len(tables[1])
-        chunk_tables.append(tables)
+        if contig in sorted_acc:
+            fwd_pos, rev_pos = sorted_acc[contig]
+            fs, fe = np.searchsorted(fwd_pos, [s, e])
+            rs, re_ = np.searchsorted(rev_pos, [s, e])
+            presence[i, 0] = (fe - fs) + (re_ - rs)
     active = psum_site_counts(presence, mesh)[:, 0] > 0
 
     for i, (contig, s, e) in enumerate(ref_chunks):
         if not active[i]:
             continue
+        tables = _chunk_site_tables(accs, sorted_acc, contig, s, e, combine)
         local = np.zeros((max_span, 2, 3, K), np.float32)
-        for strand_idx, table in enumerate(chunk_tables[i]):
+        for strand_idx, table in enumerate(tables):
             if not table:
                 continue
             stats = site_stats_from_modinfo(table, cfg, want_hist)
@@ -638,6 +647,11 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
                     "%s sites", motifs_filter)
 
     dist = cfg.dist_coordinator is not None and cfg.num_processes > 1
+    if cfg.dist_coordinator is not None and cfg.num_processes <= 1:
+        # silently falling back would make N ranks each run a FULL
+        # single-process scan onto the same output prefix
+        raise ValueError("--dist_coordinator requires --num_processes > 1 "
+                         "(got {})".format(cfg.num_processes))
     if cfg.num_processes > 1 and not 0 <= cfg.process_id < cfg.num_processes:
         raise ValueError("--process_id must be in [0, num_processes)")
     is_main = True

@@ -17,19 +17,11 @@ from ccsmeth_tpu.parallel.mesh import make_predict_fn
 from ccsmeth_tpu.pipeline.call_mods import _apply_for
 
 
+from tests.synth import example_feats
+
+
 def _feats(B, L=21, seed=0):
-    rng = np.random.RandomState(seed)
-    feats = {}
-    for s in ("", "2"):
-        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
-        feats["kpass" + s] = np.full((B, L), 8.0, np.float32)
-        feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
-        feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
-        feats["ipd_stds" + s] = rng.rand(B, L).astype(np.float32)
-        feats["pw_stds" + s] = rng.rand(B, L).astype(np.float32)
-        feats["sns" + s] = rng.rand(B, 4).astype(np.float32)
-        feats["maps" + s] = rng.rand(B, L).astype(np.float32)
-    return feats
+    return example_feats(B, L, seed, optional="random")
 
 
 @pytest.mark.parametrize("tdt", [np.float32, np.dtype(ml_dtypes.bfloat16)])

@@ -29,19 +29,7 @@ from ccsmeth_tpu.training.optim import build_optimizer
 from ccsmeth_tpu.training.train import make_train_step
 
 
-def _example_feats(B, L=21, seed=0):
-    rng = np.random.RandomState(seed)
-    feats = {}
-    for s in ("", "2"):
-        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
-        feats["kpass" + s] = np.full((B, L), 8.0, np.float32)
-        feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
-        feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
-        feats["ipd_stds" + s] = np.zeros((B, L), np.float32)
-        feats["pw_stds" + s] = np.zeros((B, L), np.float32)
-        feats["sns" + s] = np.zeros((B, 4), np.float32)
-        feats["maps" + s] = np.zeros((B, L), np.float32)
-    return feats
+from tests.synth import example_feats as _example_feats
 
 
 def _step_time(n_devices: int, B: int, reps: int = 5) -> float:
