@@ -195,7 +195,8 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
     return out_f[:, :B], out_b[:, :B]
 
 
-def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype):
+def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype,
+                       dir_batched: bool = False):
     """Build a whole-network kernel: all NL bidirectional layers over the full
     L-step sequence for one batch tile, entirely in VMEM.
 
@@ -205,6 +206,11 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype):
     over 2*NL*L cells. Feasible because call_mods sequences are tiny (L=21,
     SURVEY.md §2.4): the whole activation stack for a 256-row batch tile fits in
     VMEM with room for the f32 gate projections.
+
+    dir_batched=True runs the forward and backward recurrences as ONE batched
+    dot + one gate block per timestep ((2, Bt, ·) tensors) instead of two
+    interleaved sequential ones — half the serialized ops on the recurrent
+    chain, same math.
     """
     n_gates = 4 if cell == "lstm" else 3
     G = n_gates * H
@@ -218,21 +224,54 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype):
         # f32 anyway; a bf16-activation variant measured SLOWER — the extra
         # casts cost more than the narrower transcendental ops save)
         def gru_cell(xg, hg, h, c):
-            r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
-            z = jax.nn.sigmoid(xg[:, H : 2 * H] + hg[:, H : 2 * H])
-            n = jnp.tanh(xg[:, 2 * H :] + r * hg[:, 2 * H :])
+            r = jax.nn.sigmoid(xg[..., :H] + hg[..., :H])
+            z = jax.nn.sigmoid(xg[..., H : 2 * H] + hg[..., H : 2 * H])
+            n = jnp.tanh(xg[..., 2 * H :] + r * hg[..., 2 * H :])
             return (1.0 - z) * n + z * h, c
 
         def lstm_cell(xg, hg, h, c):
             g = xg + hg
-            i = jax.nn.sigmoid(g[:, :H])
-            f = jax.nn.sigmoid(g[:, H : 2 * H])
-            gg = jnp.tanh(g[:, 2 * H : 3 * H])
-            o = jax.nn.sigmoid(g[:, 3 * H :])
+            i = jax.nn.sigmoid(g[..., :H])
+            f = jax.nn.sigmoid(g[..., H : 2 * H])
+            gg = jnp.tanh(g[..., 2 * H : 3 * H])
+            o = jax.nn.sigmoid(g[..., 3 * H :])
             c_new = f * c + i * gg
             return o * jnp.tanh(c_new), c_new
 
         cell_fn = lstm_cell if cell == "lstm" else gru_cell
+
+        if dir_batched:
+            for l in range(NL):
+                wih, bih, whh, bhh = refs[4 * l : 4 * l + 4]
+                C = x.shape[2]
+                flat = x.reshape(L * Bt, C)
+                xg_f = (jnp.dot(flat, wih[0].astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
+                        + bih[0].astype(jnp.float32)).reshape(L, Bt, G)
+                xg_b = (jnp.dot(flat, wih[1].astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
+                        + bih[1].astype(jnp.float32)).reshape(L, Bt, G)
+                whh_c = whh[...].astype(compute_dtype)          # (2, H, G)
+                bhh_c = bhh[...].astype(jnp.float32)[:, None]   # (2, 1, G)
+                h = jnp.zeros((2, Bt, H), jnp.float32)
+                c = jnp.zeros((2, Bt, H), jnp.float32)
+                outs = []
+                for j in range(L):
+                    hg = jax.lax.dot_general(
+                        h.astype(compute_dtype), whh_c,
+                        (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32) + bhh_c
+                    xg = jnp.stack([xg_f[j], xg_b[L - 1 - j]])  # (2, Bt, G)
+                    h, c = cell_fn(xg, hg, h, c)
+                    outs.append(h)
+                hn_ref[2 * l] = outs[-1][0].astype(hn_ref.dtype)
+                hn_ref[2 * l + 1] = outs[-1][1].astype(hn_ref.dtype)
+                x = jnp.stack([
+                    jnp.concatenate([outs[t][0], outs[L - 1 - t][1]], axis=-1)
+                    for t in range(L)
+                ]).astype(compute_dtype)
+            out_ref[...] = x.astype(out_ref.dtype)
+            return
 
         for l in range(NL):
             wih, bih, whh, bhh = refs[4 * l : 4 * l + 4]
@@ -277,9 +316,9 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("n_layers", "b_tile", "compute_dtype",
-                                    "interpret", "cell"))
+                                    "interpret", "cell", "dir_batched"))
 def _fused_stack_call(x_tm, flat_weights, n_layers, b_tile, compute_dtype,
-                      interpret, cell="gru"):
+                      interpret, cell="gru", dir_batched=False):
     """x_tm: (L, B, C) -> (out (L, B, 2H) out_dtype, h_n (2*NL, B, H) f32)."""
     L, B, C = x_tm.shape
     NL = n_layers
@@ -290,7 +329,7 @@ def _fused_stack_call(x_tm, flat_weights, n_layers, b_tile, compute_dtype,
         x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = x_tm.shape[1]
     out_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
-    kernel = _make_stack_kernel(NL, L, H, cell, compute_dtype)
+    kernel = _make_stack_kernel(NL, L, H, cell, compute_dtype, dir_batched)
     w_specs = []
     for li in range(NL):
         Cl = C if li == 0 else 2 * H
@@ -413,7 +452,8 @@ def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
                                compute_dtype=jnp.float32,
                                b_tile: int | None = None,
                                interpret: bool | None = None,
-                               cell: str = "gru"):
+                               cell: str = "gru",
+                               dir_batched: bool = False):
     """Whole-network fused BiRNN: one pallas_call for all layers; same signature
     as birnn_apply_pallas — (outputs (B, L, 2H) f32, h_n (2*NL, B, H) torch
     layout). Zero h0/c0; inference path."""
@@ -432,5 +472,5 @@ def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
     for ld in layers:
         flat.extend(_layer_weights(ld))
     out_tm, hn = _fused_stack_call(x_tm, tuple(flat), len(layers), b_tile,
-                                   compute_dtype, interpret, cell)
+                                   compute_dtype, interpret, cell, dir_batched)
     return jnp.transpose(out_tm, (1, 0, 2)).astype(jnp.float32), hn

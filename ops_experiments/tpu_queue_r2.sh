@@ -23,4 +23,6 @@ run e2e8k 2400 python bench.py e2e 8192
 run e2e32k 2400 python bench.py e2e 32768
 # 4. trainm full loop at production scale (packed steps)
 run trainm 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16
+# 5. interleaved vs direction-batched recurrent chain (headline kernel)
+run dirbatch 3600 python ops_experiments/bigru_dirbatch_sweep.py 16384
 echo "QUEUE DONE $(date +%H:%M:%S)" | tee -a "$LOG/queue.log"

@@ -88,6 +88,13 @@ def test_stacked_whole_network_matches_scan(cell):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(hn), np.asarray(ref_hn), atol=3e-5,
                                rtol=1e-5)
+    # the direction-batched chain (one batched dot per timestep instead of two
+    # interleaved ones) is the same math bit for bit
+    out_db, hn_db = birnn_apply_pallas_stacked(
+        layers, jnp.asarray(x), interpret=True, b_tile=8, cell=cell,
+        dir_batched=True)
+    np.testing.assert_array_equal(np.asarray(out_db), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(hn_db), np.asarray(hn))
 
 
 def test_lstm_multilayer_matches_scan():
