@@ -1,5 +1,5 @@
 from .bam import BamHeader, BamReader, BamRecord, BamWriter, sort_bam_in_memory
-from .bgzf import BgzfReader, BgzfWriter
+from .bgzf import BgzfReader, BgzfWriter, create_text_gz, open_text_auto
 from .bai import build_index, fetch_region, index_bam_if_needed
 
 __all__ = [
@@ -9,6 +9,8 @@ __all__ = [
     "BamWriter",
     "BgzfReader",
     "BgzfWriter",
+    "create_text_gz",
+    "open_text_auto",
     "sort_bam_in_memory",
     "build_index",
     "fetch_region",

@@ -228,6 +228,13 @@ class BgzfReader(io.RawIOBase):
             n -= take
         return bytes(out)
 
+    def readinto(self, b) -> int:
+        # RawIOBase does not derive readinto from read(); io.BufferedReader
+        # (the open_text_auto stack) drives the raw stream through this.
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
     def read_exact(self, n: int) -> bytes:
         data = self.read(n)
         if len(data) != n:
@@ -323,3 +330,26 @@ class BgzfWriter(io.RawIOBase):
         if self._own:
             self._fh.close()
         super().close()
+
+
+def open_text_auto(path: str) -> io.TextIOWrapper:
+    """Text reader for plain, gzip, or BGZF files.
+
+    BGZF inputs (e.g. this engine's own .gz TSV outputs) decompress through the
+    native parallel codec; plain single-member gzip (the reference's output
+    style, extract_features.py:520) streams through stdlib zlib.
+    """
+    return io.TextIOWrapper(io.BufferedReader(BgzfReader(path), 1 << 20),
+                            encoding="utf-8", newline="")
+
+
+def create_text_gz(path: str, compresslevel: int = 6) -> io.TextIOWrapper:
+    """gzip-compatible text writer backed by the parallel BGZF codec.
+
+    Output is standard multi-member gzip (readable by zcat/gzip.open) AND
+    bgzip-blocked, so downstream tabix indexing and parallel re-reads work.
+    Replaces single-threaded gzip.open("wt") on the TSV write paths.
+    """
+    return io.TextIOWrapper(io.BufferedWriter(BgzfWriter(path, compresslevel),
+                                              1 << 20),
+                            encoding="utf-8", newline="")

@@ -10,10 +10,10 @@ genome-decomposition axis that shards across hosts at scale).
 from __future__ import annotations
 
 import dataclasses
-import gzip
 import os
 import time
 
+from ..bamio import create_text_gz, open_text_auto
 from ..utils.codecs import complement_seq, get_motif_seqs
 from ..utils.constants import DEFAULT_REF_LOC
 from ..utils.fasta import DNAReference
@@ -62,7 +62,8 @@ def calculate_mods_frequency(mods_files, prob_cf: float, rm_1strand: bool = Fals
     stats: dict[str, SiteStats] = {}
     count = used = 0
     for mods_file in mods_files:
-        opener = gzip.open if mods_file.endswith(".gz") else open
+        opener = ((lambda p, _m="rt": open_text_auto(p))
+                  if mods_file.endswith(".gz") else open)
         with opener(mods_file, "rt") as infile:
             for line in infile:
                 w = line.strip().split("\t")
@@ -118,7 +119,7 @@ def write_sitekey2stats(stats: dict[str, SiteStats], result_file: str, is_sort: 
     if is_gzip:
         if not result_file.endswith(".gz"):
             result_file += ".gz"
-        wf = gzip.open(result_file, "wt")
+        wf = create_text_gz(result_file)
     else:
         wf = open(result_file, "w")
     for key in keys:
@@ -226,7 +227,7 @@ def call_mods_frequency_to_file(cfg: FreqTxtConfig) -> str:
         out = cfg.result_file
         if cfg.gzip and not out.endswith(".gz"):
             out += ".gz"
-        wf = gzip.open(out, "wt") if cfg.gzip else open(out, "w")
+        wf = create_text_gz(out) if cfg.gzip else open(out, "w")
         for tmp in sorted(tmp_files):
             with open(tmp) as rf:
                 wf.write(rf.read())

@@ -16,7 +16,6 @@ the batch's read_idx column instead of string sampleinfo rows.
 from __future__ import annotations
 
 import dataclasses
-import gzip
 import os
 import queue
 import sys
@@ -569,10 +568,13 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
             raise ValueError("--process_id must be in [0, num_processes)")
         shard = (cfg.process_id, cfg.num_processes)
 
-    opener = gzip.open if input_path.endswith(".gz") else open
+    from ..bamio import create_text_gz, open_text_auto
+
+    opener = ((lambda p, _m="rt": open_text_auto(p))
+              if input_path.endswith(".gz") else open)
     if cfg.gzip_out:
         out_path += ".gz"
-        wf = gzip.open(out_path, "wt")
+        wf = create_text_gz(out_path)
     else:
         wf = open(out_path, "w")
     rows: list[list[str]] = []

@@ -7,7 +7,6 @@ extracts + stringifies, a writer thread streams (gz) TSV.
 
 from __future__ import annotations
 
-import gzip
 import os
 import queue
 import threading
@@ -78,7 +77,9 @@ def extract_hifireads_features(args) -> str:
     if args.gzip:
         if not outputpath.endswith(".gz"):
             outputpath += ".gz"
-        wf = gzip.open(outputpath, "wt")
+        from ..bamio import create_text_gz
+
+        wf = create_text_gz(outputpath)
     else:
         wf = open(outputpath, "w")
 

@@ -9,10 +9,9 @@ line-at-a-time parsing).
 
 from __future__ import annotations
 
-import gzip
-
 import numpy as np
 
+from ..bamio import open_text_auto
 from ..utils.constants import BASE2CODE_DNA
 
 _FEATURE_KEYS = (
@@ -32,7 +31,8 @@ def load_feature_tsv(path: str, seq_len: int = 21,
     parse_a_liness). Kmer columns longer than seq_len are center-truncated like
     the reference formatter (_call_modifications_txt.py:159-166).
     """
-    opener = gzip.open if path.endswith(".gz") else open
+    opener = ((lambda q, _m="rt": open_text_auto(q))
+              if path.endswith(".gz") else open)
     with opener(path, "rt") as rf:
         return parse_feature_lines(rf, seq_len, single_strand)
 
@@ -202,7 +202,7 @@ class StreamingFeatureDataset:
         self._offsets: list[int] = []  # byte offset of each chunk start (plain files)
         n = 0
         if self._gz:
-            with gzip.open(path, "rt") as rf:
+            with open_text_auto(path) as rf:
                 for _ in rf:
                     n += 1
         else:
@@ -225,7 +225,7 @@ class StreamingFeatureDataset:
 
     def _iter_chunks(self, shuffle: bool, rng):
         if self._gz:
-            with gzip.open(self.path, "rt") as rf:
+            with open_text_auto(self.path) as rf:
                 chunk: list[str] = []
                 for line in rf:
                     chunk.append(line)
