@@ -225,7 +225,6 @@ class AggrPredictor:
 
         self._fwd = _fwd
         self._bsp = bsp
-        self._L = L
 
     def predict(self, offsets: np.ndarray, histos: np.ndarray) -> np.ndarray:
         """offsets (N, L), histos (N, L, binsize) -> probs (N,) rounded/clipped like
@@ -549,14 +548,19 @@ def _dist_emit_chunks(cfg: FreqBamConfig, accs: dict, sorted_acc: dict,
                       aggr: "AggrPredictor | None", emit_rows) -> None:
     """Collective per-chunk frequency merge (--dist_coordinator mode).
 
-    Every process packs its PARTIAL per-site stats for each chunk into one dense
-    [max_span, 2 strands, 3 hap-groups, K] float32 tensor (K = 3 counts
-    [+ bin_size histogram bins in aggregate mode]; position-indexed so the
-    representation is identical across processes without exchanging site lists)
-    and all-reduces it with one psum over the 'data' mesh (psum_site_counts);
-    rank 0 turns merged tensors into bedMethyl rows. One up-front presence psum
-    lets all ranks skip empty chunks consistently. Collective-order safety: every
-    rank iterates the same chunk list and issues the same psum sequence.
+    Two psums per active chunk, both with rank-identical shapes:
+    1. a flat [max_span*2, 1] (position, strand) PRESENCE vector — its global
+       sum gives every rank the same ordered list of occupied sites (CpG sites
+       are a few % of positions, so shipping dense per-site STATS would be
+       ~25-50x the necessary bytes in aggregate mode);
+    2. a site-PACKED [n_sites_padded, 3 hap-groups * K] stats table (K = 3
+       counts [+ bin_size histogram bins in aggregate mode]), padded to
+       power-of-two buckets so the psum compiles O(log) times, not per chunk.
+    Rank 0 turns merged tables into bedMethyl rows. One up-front presence psum
+    lets all ranks skip empty chunks consistently. Collective-order safety:
+    every rank iterates the same chunk list and issues the same psum sequence
+    with the same shapes (site lists and pad buckets derive from collective
+    results, never from local data).
     """
     import jax
 
@@ -588,32 +592,43 @@ def _dist_emit_chunks(cfg: FreqBamConfig, accs: dict, sorted_acc: dict,
         if not active[i]:
             continue
         tables = _chunk_site_tables(accs, sorted_acc, contig, s, e, combine)
-        local = np.zeros((max_span, 2, 3, K), np.float32)
-        for strand_idx, table in enumerate(tables):
-            if not table:
-                continue
-            stats = site_stats_from_modinfo(table, cfg, want_hist)
+        stats_by_strand = [
+            site_stats_from_modinfo(t, cfg, want_hist) if t else {}
+            for t in tables
+        ]
+        # psum 1: global (position, strand) presence -> shared site list
+        pres = np.zeros((max_span * 2, 1), np.float32)
+        for strand_idx, stats in enumerate(stats_by_strand):
+            for pos in stats:
+                pres[(pos - s + 1) * 2 + strand_idx, 0] = 1.0
+        flat_sites = np.nonzero(psum_site_counts(pres, mesh)[:, 0] > 0)[0]
+        n_sites = len(flat_sites)
+        padded = max(256, 1 << (n_sites - 1).bit_length())
+        # psum 2: packed per-site stats at the shared site order
+        local = np.zeros((padded, 3 * K), np.float32)
+        row_of = {int(f): r for r, f in enumerate(flat_sites)}
+        for strand_idx, stats in enumerate(stats_by_strand):
             for pos, (counts, hist) in stats.items():
-                idx = pos - s + 1
-                local[idx, strand_idx, :, :3] = counts
+                row = local[row_of[(pos - s + 1) * 2 + strand_idx]]
+                row = row.reshape(3, K)
+                row[:, :3] = counts
                 if want_hist:
-                    local[idx, strand_idx, :, 3:] = hist
-        merged = psum_site_counts(local.reshape(max_span * 6, K), mesh)
+                    row[:, 3:] = hist
+        merged = psum_site_counts(local, mesh)
         if not is_main:
             continue
-        merged = merged.reshape(max_span, 2, 3, K)
+        merged = merged[:n_sites].reshape(n_sites, 3, K)
         for strand_idx, strand_char in ((0, "+"), (1, "-")):
-            idxs = np.nonzero(merged[:, strand_idx, 0, 0] > 0)[0]
-            if len(idxs) == 0:
-                continue
             site_stats = {}
-            for idx in idxs:
-                m = merged[idx, strand_idx]
+            for r in np.nonzero(flat_sites % 2 == strand_idx)[0]:
+                m = merged[r]
                 counts = np.rint(m[:, :3]).astype(np.int64)
                 hist = np.rint(m[:, 3:]).astype(np.int64) if want_hist else None
-                site_stats[int(s - 1 + idx)] = (counts, hist)
-            emit_rows(call_modfreq_from_stats(site_stats, cfg, aggr),
-                      contig, strand_char)
+                pos = int(s - 1 + flat_sites[r] // 2)
+                site_stats[pos] = (counts, hist)
+            if site_stats:
+                emit_rows(call_modfreq_from_stats(site_stats, cfg, aggr),
+                          contig, strand_char)
 
 
 def _write_one_line(beditem, wf, is_bed):

@@ -203,6 +203,12 @@ def _h0_stream_for(cfg: CallModsConfig, model_cfg):
     if cfg.rnn_backend != "xla":
         raise ValueError("--h0_mode randn requires --rnn_backend xla "
                          "(the fused pallas kernels are zero-h0 only)")
+    if cfg.num_processes > 1:
+        raise ValueError(
+            "--h0_mode randn requires a single process: sharded runs consume "
+            "the per-forward torch.randn stream against a different batch "
+            "sequence than the reference's, so the replay would reproduce "
+            "nothing")
     return _make_h0_stream(model_cfg, cfg.tseed)
 
 
