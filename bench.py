@@ -220,9 +220,12 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
             collected += predict.collect(pending.popleft()).shape[0]
         return collected / (time.perf_counter() - t0)
 
-    out = {"sites_per_s": round(stream(predict.dispatch), 1), "batch": batch,
+    # headline = the shipped pipeline path (packed rows + 2-thread async dispatch,
+    # exactly what pipeline/call_mods.py uses); serial/unpacked kept for attribution
+    out = {"sites_per_s": round(stream(predict.dispatch_async), 1), "batch": batch,
            "depth": depth, "n_batches": n_batches,
            "row_bytes": predict.row_bytes,
+           "serial_sites_per_s": round(stream(predict.dispatch), 1),
            "unpacked_sites_per_s": round(stream(predict.dispatch_unpacked), 1)}
 
     # --- attribution probes ---
@@ -265,16 +268,14 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     while pending:
         collected += predict.collect(pending.popleft()).shape[0]
     out["resident_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
-    # (c) threaded dispatch: puts issued from 2 worker threads — if this beats
-    # the serial packed stream the link multiplexes RPCs and deeper host-side
-    # pipelining has headroom; if equal, the link serializes and packing is
-    # the whole story
+    # (c) wider dispatch pool probe: 4 put threads vs the shipped 2 — if this
+    # beats the headline, raise dispatch_workers; if equal, 2 saturates the link
     from concurrent.futures import ThreadPoolExecutor
 
     pending = deque()
     collected = 0
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as ex:
+    with ThreadPoolExecutor(max_workers=4) as ex:
         for i in range(n_batches):
             pending.append(ex.submit(predict.dispatch,
                                      host_batches[i % len(host_batches)]))
@@ -282,7 +283,7 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
                 collected += predict.collect(pending.popleft().result()).shape[0]
         while pending:
             collected += predict.collect(pending.popleft().result()).shape[0]
-    out["threaded_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
+    out["threaded4_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
     return out
 
 

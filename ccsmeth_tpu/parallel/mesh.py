@@ -10,6 +10,8 @@ reductions) over ICI/DCN.
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,7 +33,7 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
 
 
 def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
-                    transfer_dtype=np.float32):
+                    transfer_dtype=np.float32, dispatch_workers: int = 2):
     """Build a jitted data-parallel predict step: feats dict -> softmax probs (B, C).
 
     Works on one device (trivial mesh) or many; batch dim must divide the mesh size
@@ -42,7 +44,13 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     (stds/sn/map when the model config has them off — the production default) are
     synthesized as zeros ON DEVICE inside the jit. The returned callable also
     exposes ``.dispatch(feats)`` -> device future and ``.collect(fut)`` so callers
-    can pipeline transfers against compute.
+    can pipeline transfers against compute, plus ``.dispatch_async(feats)`` which
+    issues the pack+device_put from a small thread pool (``dispatch_workers``):
+    through a remote-attached device every put is a fixed-latency RPC, and
+    overlapping 2 in-flight puts measured 2.2x streaming throughput (bench.py e2e
+    ``threaded`` probe); on local-PCIe hardware it simply overlaps host packing
+    with compute. Results stay correctly paired because each future carries its
+    own output array.
     """
     if mesh is None:
         mesh = data_mesh()
@@ -178,15 +186,31 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
                    for k, v in _compact(feats).items()}
         return _predict(compact)
 
+    _pool = (ThreadPoolExecutor(max_workers=dispatch_workers,
+                                thread_name_prefix="ccs-dispatch")
+             if dispatch_workers > 0 else None)
+
+    def dispatch_async(feats: dict):
+        """Like dispatch() but returns a concurrent Future; pack + device_put
+        (the RPC-latency-bound part) runs on a pool thread so up to
+        ``dispatch_workers`` transfers overlap. collect() resolves either kind."""
+        if _pool is None:
+            return dispatch(feats)
+        return _pool.submit(dispatch, feats)
+
     def collect(fut) -> np.ndarray:
+        if isinstance(fut, Future):
+            fut = fut.result()
         return np.asarray(fut)
 
     def predict(feats: dict) -> np.ndarray:
         return collect(dispatch(feats))
 
     predict.dispatch = dispatch
+    predict.dispatch_async = dispatch_async
     predict.dispatch_unpacked = dispatch_unpacked
     predict.collect = collect
+    predict.close = (_pool.shutdown if _pool is not None else (lambda: None))
     # internals for benchmarking/attribution (bench.py): stage inputs on device
     # once, then drive the jitted step directly (no per-call host->device copy)
     predict.compact = _compact

@@ -128,10 +128,48 @@ class CallModsConfig:
 
 
 def load_model_params(model_file: str, model_cfg):
-    """Load a native .npz checkpoint or convert a reference torch .ckpt."""
+    """Load a native .npz checkpoint or convert a reference torch .ckpt.
+
+    Validates the loaded tree against the config-implied shapes and fails fast
+    with the offending flag names — the reference's ``load_state_dict`` raises a
+    per-tensor size-mismatch error (train.py:110-116); without this check a
+    mismatch (e.g. a ckpt trained at --hid_rnn 64 loaded under the default 256)
+    only surfaces as an opaque einsum shape error deep inside the jit."""
     if model_file.endswith(".npz"):
-        return load_params(model_file)
-    return torch_ckpt_to_params(model_file, model_cfg)
+        params = load_params(model_file)
+    else:
+        params = torch_ckpt_to_params(model_file, model_cfg)
+    _check_params_shapes(params, model_cfg, model_file)
+    return params
+
+
+def _check_params_shapes(params, model_cfg, model_file: str) -> None:
+    import jax
+
+    from ..models import init_attrnn
+    from ..models.transenc import init_transenc
+
+    if isinstance(model_cfg, TransEncConfig):
+        expect = init_transenc(0, model_cfg)
+    else:
+        expect = init_attrnn(0, model_cfg)
+    exp_flat = {jax.tree_util.keystr(p): v.shape
+                for p, v in jax.tree_util.tree_leaves_with_path(expect)}
+    got_flat = {jax.tree_util.keystr(p): np.asarray(v).shape
+                for p, v in jax.tree_util.tree_leaves_with_path(params)}
+    problems = []
+    for k, shp in exp_flat.items():
+        if k not in got_flat:
+            problems.append("missing {} (expect {})".format(k, shp))
+        elif got_flat[k] != shp:
+            problems.append("{}: ckpt {} vs config {}".format(k, got_flat[k], shp))
+    problems += ["unexpected {} in ckpt".format(k)
+                 for k in got_flat if k not in exp_flat]
+    if problems:
+        raise ValueError(
+            "model checkpoint {} does not match the model flags "
+            "(--model_type/--layer_rnn/--hid_rnn/--seq_len...): {}".format(
+                model_file, "; ".join(problems[:8])))
 
 
 def _get_holes(path: str) -> set:
@@ -427,7 +465,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                 cf = sub.compact_feats()
                 if h0_draw is not None:
                     cf.update(h0_draw(sub.n_valid, pad_n))
-                subs.append((predict.dispatch(cf), sub))
+                subs.append((predict.dispatch_async(cf), sub))
         pending.append((holebatch, idx_map, subs))
         while len(pending) > 2:
             finalize(pending.popleft())
@@ -456,6 +494,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                     pass
     t_write.join()
     reader.close()
+    predict.close()
     if pool is not None:
         pool.shutdown(wait=False, cancel_futures=True)
     if err:
@@ -600,6 +639,7 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
             _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne,
                               wf, h0_draw)
     wf.close()
+    predict.close()
     return out_path
 
 
@@ -608,12 +648,17 @@ def _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf,
     batch, sampleinfo = _parse_tsv_batch(rows, cfg.seq_len, holeids_e, holeids_ne)
     if batch is None:
         return
+    # dispatch every sub-batch up front (async transfers overlap device compute;
+    # h0 draws stay in stream order on this thread), then collect in row order
+    dispatched = []
     for s in range(0, len(batch), pad_n):
         sub = batch.slice(s, min(s + pad_n, len(batch))).pad_to(pad_n)
         cf = sub.compact_feats()
         if h0_draw is not None:
             cf.update(h0_draw(sub.n_valid, pad_n))
-        probs = predict(cf)[: sub.n_valid]
+        dispatched.append((s, sub, predict.dispatch_async(cf)))
+    for s, sub, fut in dispatched:
+        probs = predict.collect(fut)[: sub.n_valid]
         predicted = np.argmax(probs, axis=1)
         for j in range(sub.n_valid):
             i = s + j
