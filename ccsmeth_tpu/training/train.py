@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
+import threading
 import time
 
 import jax
@@ -166,6 +167,55 @@ def _unpack_cols(flat, fields):
     labels = flat[:, o].astype(jnp.int32)
     mask = flat[:, o + 1]
     return feats, labels, mask
+
+
+def _prefetch(iterator, stage, depth: int = 2):
+    """Yield `stage(item)` for each item, with staging (batch pack +
+    host->device transfer) running `depth` ahead on a worker thread.
+
+    The reference overlaps loading with compute via DataLoader worker processes
+    (train.py:60-67 num_workers); here one thread suffices because staging is
+    numpy packing + a device_put — on a remote-attached device that put is a
+    fixed-latency RPC, and without prefetch it serializes with every step.
+    Close or exhaust the generator to stop the worker."""
+    import queue as _queue
+
+    done = object()
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    err: list[BaseException] = []
+
+    def work():
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
+        try:
+            for item in iterator:
+                if not put(stage(item)):
+                    return
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            err.append(e)
+        finally:
+            put(done)
+
+    t = threading.Thread(target=work, daemon=True, name="ccs-train-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            yield item
+        if err:
+            raise err[0]
+    finally:
+        stop.set()
 
 
 def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
@@ -395,12 +445,21 @@ def train(cfg: TrainConfig) -> dict:
 
     def to_global(flat):
         """Assemble per-host local rows of the packed batch into one global
-        sharded array (multi-host); single-process passes through."""
+        sharded array (multi-host); single-process stages it on device so the
+        transfer happens on the prefetch thread, not inside the step call."""
         if n_proc == 1:
-            return flat
+            return jax.device_put(flat, batch_sharding)
         global_shape = (flat.shape[0] * n_proc,) + flat.shape[1:]
         return jax.make_array_from_process_local_data(batch_sharding, flat,
                                                       global_shape)
+
+    def stage_for(step_fn):
+        def stage(b):
+            feats, labels, n_valid = b
+            mask = np.zeros(pad_n, np.float32)
+            mask[:n_valid] = 1.0
+            return to_global(step_fn.pack_batch(feats, labels, mask))
+        return stage
     curr_best_accuracy = 0.0
     curr_best_loc = 0
     best_epoch_accs: list[float] = []
@@ -417,18 +476,19 @@ def train(cfg: TrainConfig) -> dict:
         csum = np.zeros(5, np.float64)
         n_vbatch = (len(valid_ds) // (cfg.batch_size * n_proc) if n_proc > 1
                     else None)
-        for bi, (feats, labels, n_valid) in enumerate(valid_ds.batches(
-                cfg.batch_size, False, nprng, pad_to=pad_n,
-                shard=((cfg.process_id, n_proc) if n_proc > 1 else None),
-                drop_remainder=n_proc > 1)):
-            if n_vbatch is not None and bi >= n_vbatch:
-                break
-            mask = np.zeros(pad_n, np.float32)
-            mask[:n_valid] = 1.0
-            flat = to_global(eval_step.pack_batch(feats, labels, mask))
-            loss, _pred, counts = eval_step.packed(params, flat)
-            vlosses.append(float(loss))
-            csum += np.asarray(counts, np.float64)
+        staged = _prefetch(valid_ds.batches(
+            cfg.batch_size, False, nprng, pad_to=pad_n,
+            shard=((cfg.process_id, n_proc) if n_proc > 1 else None),
+            drop_remainder=n_proc > 1), stage_for(eval_step))
+        try:
+            for bi, flat in enumerate(staged):
+                if n_vbatch is not None and bi >= n_vbatch:
+                    break
+                loss, _pred, counts = eval_step.packed(params, flat)
+                vlosses.append(float(loss))
+                csum += np.asarray(counts, np.float64)
+        finally:
+            staged.close()
         n, correct, tp, fp, fn = csum
         acc = correct / n if n else 0.0
         prec = tp / (tp + fp) if (tp + fp) else 0.0
@@ -444,15 +504,13 @@ def train(cfg: TrainConfig) -> dict:
         start = time.time()
         shard = ((cfg.process_id, n_proc) if n_proc > 1 else None)
         i = -1
-        for feats, labels, n_valid in train_ds.batches(
-                cfg.batch_size, True, nprng, pad_to=pad_n, shard=shard,
-                drop_remainder=n_proc > 1):
+        staged_train = _prefetch(train_ds.batches(
+            cfg.batch_size, True, nprng, pad_to=pad_n, shard=shard,
+            drop_remainder=n_proc > 1), stage_for(train_step))
+        for gflat in staged_train:
             i += 1
             if n_proc > 1 and i >= total_step:
                 break  # equal collective step count on every host
-            mask = np.zeros(pad_n, np.float32)
-            mask[:n_valid] = 1.0
-            gflat = to_global(train_step.pack_batch(feats, labels, mask))
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step.packed(params, opt_state,
                                                         gflat, sub)
@@ -497,6 +555,7 @@ def train(cfg: TrainConfig) -> dict:
                     curr_best_epoch, curr_best_accuracy, time.time() - start)
                 tlosses = []
                 start = time.time()
+        staged_train.close()
         new_lr = sched.epoch_end(accs_per_epoch or [0.0])
         opt_state = set_learning_rate(opt_state, new_lr)
         best_epoch_accs.append(curr_best_epoch)
