@@ -294,3 +294,61 @@ def test_streaming_dataset_host_sharding(tmp_path):
     assert len(s0) + len(s1) == len(all_b)
     key = lambda b: float(b[0]["ipd_means"].sum())
     assert sorted(map(key, s0 + s1)) == sorted(map(key, all_b))
+
+
+def test_prefetch_order_close_and_errors():
+    """_prefetch preserves item order, stops its worker on close, and re-raises
+    staging/iterator errors on the consumer thread."""
+    import threading
+    import time as _time
+
+    from ccsmeth_tpu.training.train import _prefetch
+
+    # order preserved
+    out = list(_prefetch(iter(range(20)), lambda x: x * 2, depth=3))
+    assert out == [2 * i for i in range(20)]
+
+    # early close stops the worker promptly (no deadlock on the bounded queue)
+    n0 = threading.active_count()
+    gen = _prefetch(iter(range(10_000)), lambda x: x, depth=2)
+    assert next(gen) == 0
+    gen.close()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n0 and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert threading.active_count() <= n0
+
+    # error in stage fn propagates
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("stage failed")
+        return x
+
+    with pytest.raises(RuntimeError, match="stage failed"):
+        list(_prefetch(iter(range(10)), boom, depth=2))
+
+    # error in the source iterator propagates
+    def bad_iter():
+        yield 1
+        raise ValueError("iterator failed")
+
+    with pytest.raises(ValueError, match="iterator failed"):
+        list(_prefetch(bad_iter(), lambda x: x, depth=2))
+
+
+def test_ckpt_shape_mismatch_fails_fast(tmp_path):
+    """Loading a ckpt trained at one shape under different model flags raises a
+    named-flag error up front instead of an opaque einsum failure in the jit
+    (reference load_state_dict analog, train.py:110-116)."""
+    from ccsmeth_tpu.models.params_io import save_params
+    from ccsmeth_tpu.pipeline.call_mods import load_model_params
+
+    small = AttRNNConfig(hidden_size=32, num_layers=2, dropout_rate=0.0)
+    p = str(tmp_path / "small.ckpt.npz")
+    save_params(p, jax.device_get(init_attrnn(0, small)))
+    big = AttRNNConfig(hidden_size=256, num_layers=3, dropout_rate=0.0)
+    with pytest.raises(ValueError, match="--model_type/--layer_rnn/--hid_rnn"):
+        load_model_params(p, big)
+    # matching config loads fine
+    params = load_model_params(p, small)
+    assert params["fc1"]["w"].shape == (4 * 32, 2)
