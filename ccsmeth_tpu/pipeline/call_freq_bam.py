@@ -236,6 +236,9 @@ class AggrPredictor:
         # float32 end-to-end: the reference keeps torch's float32 logits through
         # round/clip and the freq.txt strings inherit float32 repr (lines 302,402)
         out = np.empty(N, dtype=np.float32)
+        # dispatch every chunk before collecting any (jax dispatch is async, so
+        # device compute of chunk k overlaps the host pack/put of chunk k+1)
+        futs = []
         for s in range(0, N, self.PAD):
             e = min(s + self.PAD, N)
             n = e - s
@@ -243,7 +246,9 @@ class AggrPredictor:
                             np.float32)
             flat[:n, :L] = offsets[s:e]
             flat[:n, L:] = histos[s:e].reshape(n, -1)
-            res = np.asarray(self._fwd(jax.device_put(flat, self._bsp)))
+            futs.append((s, e, n, self._fwd(jax.device_put(flat, self._bsp))))
+        for s, e, n, res in futs:
+            res = np.asarray(res)
             out[s:e] = np.round(np.clip(res[:n, 0], 0, 1), 6)
         return out
 
