@@ -203,10 +203,12 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     tdt = np.dtype(ml_dtypes.bfloat16) if precision == "bf16" else np.float32
     predict = make_predict_fn(_apply_for(cfg, "pallas", precision), params, cfg,
                               transfer_dtype=tdt)
+    fuse = 8  # matches CallModsConfig.dispatch_fuse (the shipped default)
     # n_batches distinct host-side batches (realistic: every dispatch transfers)
     host_batches = [_example_feats(batch, seed=s) for s in range(min(n_batches, 8))]
     predict(host_batches[0])  # compile + warm (packed path)
     predict.collect(predict.dispatch_unpacked(host_batches[0]))
+    predict.collect(predict.dispatch_many(host_batches[:2] * (fuse // 2)))
 
     def stream(dispatch_fn, n=n_batches):
         pending: deque = deque()
@@ -220,11 +222,34 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
             collected += predict.collect(pending.popleft()).shape[0]
         return collected / (time.perf_counter() - t0)
 
-    # headline = the shipped pipeline path (packed rows + 2-thread async dispatch,
-    # exactly what pipeline/call_mods.py uses); serial/unpacked kept for attribution
-    out = {"sites_per_s": round(stream(predict.dispatch_async), 1), "batch": batch,
-           "depth": depth, "n_batches": n_batches,
+    def stream_mega(n=n_batches, k=fuse, dispatch_fn=None):
+        """The shipped pipeline path (CallModsConfig.dispatch_fuse=8): k packed
+        batches fused into ONE put + ONE dispatch + ONE fetch via lax.scan on
+        device (parallel/mesh.py dispatch_many)."""
+        dispatch_fn = dispatch_fn or predict.dispatch_many_async
+        groups = [[host_batches[(g * k + j) % len(host_batches)]
+                   for j in range(k)] for g in range(max(n // k, 1))]
+        pending: deque = deque()
+        collected = 0
+        t0 = time.perf_counter()
+        for g in groups:
+            pending.append(dispatch_fn(g))
+            while len(pending) > 1:
+                arr = predict.collect(pending.popleft())
+                collected += arr.shape[0] * arr.shape[1]
+        while pending:
+            arr = predict.collect(pending.popleft())
+            collected += arr.shape[0] * arr.shape[1]
+        return collected / (time.perf_counter() - t0)
+
+    # headline = the shipped pipeline path (packed rows fused k-per-dispatch +
+    # async dispatch pool, exactly what pipeline/call_mods.py uses with its
+    # dispatch_fuse=8 default); per-batch async/serial/unpacked kept for
+    # attribution of what each fix buys
+    out = {"sites_per_s": round(stream_mega(), 1), "batch": batch,
+           "depth": depth, "n_batches": n_batches, "fuse": fuse,
            "row_bytes": predict.row_bytes,
+           "async1_sites_per_s": round(stream(predict.dispatch_async), 1),
            "serial_sites_per_s": round(stream(predict.dispatch), 1),
            "unpacked_sites_per_s": round(stream(predict.dispatch_unpacked), 1)}
 
@@ -253,6 +278,15 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
             jax.device_put(packed_buf, predict.batch_sharding))
     out["put_mbps_1put"] = round(
         n_put * packed_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+    # (a'') k batches' bytes in ONE put (the fused megabatch buffer): at k=8 the
+    # fixed per-RPC latency is 1/8 per batch, so this approaches the tunnel's
+    # raw wire bandwidth — the number the fused path's transfer bound is built on
+    mega_buf = np.broadcast_to(packed_buf, (fuse,) + packed_buf.shape).copy()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(jax.device_put(mega_buf, predict.mega_sharding))
+    out["put_mbps_mega"] = round(
+        3 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
     # (b) device-resident streaming: inputs staged once, same dispatch loop —
     # isolates pipeline overhead from the transfer path
     staged_batches = [
@@ -268,6 +302,25 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     while pending:
         collected += predict.collect(pending.popleft()).shape[0]
     out["resident_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
+    # (b') device-resident FUSED streaming: one staged megabatch, step_many
+    # driven directly — the fused path's ceiling with zero transfer cost
+    staged_mega = jax.device_put(
+        {"buf": np.stack([predict.pack(predict.compact(
+            host_batches[j % len(host_batches)])) for j in range(fuse)])},
+        predict.mega_sharding)
+    pending = deque()
+    collected = 0
+    t0 = time.perf_counter()
+    for _ in range(max(n_batches // fuse, 1)):
+        pending.append(predict.step_many(staged_mega))
+        while len(pending) > 1:
+            arr = predict.collect(pending.popleft())
+            collected += arr.shape[0] * arr.shape[1]
+    while pending:
+        arr = predict.collect(pending.popleft())
+        collected += arr.shape[0] * arr.shape[1]
+    out["resident_mega_sites_per_s"] = round(
+        collected / (time.perf_counter() - t0), 1)
     # (c) wider dispatch pool probe: 4 put threads vs the shipped 2 — if this
     # beats the headline, raise dispatch_workers; if equal, 2 saturates the link
     from concurrent.futures import ThreadPoolExecutor

@@ -163,13 +163,53 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
             out[k] = v[:, 0] if n == 1 else v
         return out
 
-    @jax.jit
-    def _predict_packed(packed):
+    def _predict_packed_impl(packed):
         compact = dict(_unpack(packed["buf"]))
         for k in ("h0", "h0_2", "c0", "c0_2"):
             if k in packed:
                 compact[k] = packed[k]
         return _predict_impl(compact)
+
+    _predict_packed = jax.jit(_predict_packed_impl)
+
+    # --- megabatch: ONE dispatch + ONE fetch per k logical batches ----------
+    # Even with packed single-put transfers, every batch still costs one
+    # dispatch RPC and one result-fetch RPC; through the tunnel those fixed
+    # latencies bound streaming at ~1/3 of the forward ceiling (bench.py e2e
+    # `resident_sites_per_s`). Stacking k packed batches into a (k, B, row)
+    # buffer and lax.scan-ning the SAME per-batch step over k on-device keeps
+    # the compiled kernel shapes identical while dividing every per-call RPC
+    # (put, dispatch, fetch) by k. Results come back as one (k, B, C) array.
+    mega_sharding = NamedSharding(mesh, P(None, "data"))
+
+    @jax.jit
+    def _predict_mega(mega):
+        def body(c, per):
+            return c, _predict_packed_impl(per)
+
+        _, probs = jax.lax.scan(body, jnp.int32(0), mega)
+        return probs
+
+    def dispatch_many(feats_list):
+        """Fuse k same-shape batches into one device call; returns a device
+        array future of shape (k, B, C). All batches must be padded to the
+        same fixed batch size (callers already pad to pad_n)."""
+        packs = []
+        for f in feats_list:
+            compact = _compact(f)
+            p = {"buf": _pack(compact)}
+            for k in ("h0", "h0_2", "c0", "c0_2"):
+                if k in compact:
+                    p[k] = compact[k]
+            packs.append(p)
+        mega = {k: np.stack([p[k] for p in packs]) for k in packs[0]}
+        staged = {k: jax.device_put(v, mega_sharding) for k, v in mega.items()}
+        return _predict_mega(staged)
+
+    def dispatch_many_async(feats_list):
+        if _pool is None:
+            return dispatch_many(feats_list)
+        return _pool.submit(dispatch_many, feats_list)
 
     def dispatch(feats: dict):
         compact = _compact(feats)
@@ -209,6 +249,8 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     predict.dispatch = dispatch
     predict.dispatch_async = dispatch_async
     predict.dispatch_unpacked = dispatch_unpacked
+    predict.dispatch_many = dispatch_many
+    predict.dispatch_many_async = dispatch_many_async
     predict.collect = collect
     predict.close = (_pool.shutdown if _pool is not None else (lambda: None))
     # internals for benchmarking/attribution (bench.py): stage inputs on device
@@ -218,5 +260,7 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     predict.row_bytes = _row_bytes
     predict.step = _predict
     predict.step_packed = _predict_packed
+    predict.step_many = _predict_mega
     predict.batch_sharding = batch_sharding
+    predict.mega_sharding = mega_sharding
     return predict

@@ -84,6 +84,11 @@ class CallModsConfig:
     # optionally in bf16 (fastest; probs may differ in the last ~2 decimals)
     rnn_backend: str = "xla"
     precision: str = "fp32"  # fp32 | bf16
+    # fuse k fixed-shape sub-batches into ONE device call (put+dispatch+fetch
+    # each become one RPC per k batches instead of per batch — the dominant
+    # cost on remote-attached devices; parallel/mesh.py dispatch_many). 1
+    # disables fusing (per-batch async dispatch, the round-2 behavior).
+    dispatch_fuse: int = 8
     # share-nothing multi-process scale-out: stable hash of the read name picks
     # exactly one owner per read (parallel/distributed.owns_read); each process
     # writes its own output prefix and the shard modbams/TSVs union to the full
@@ -250,6 +255,73 @@ def _h0_stream_for(cfg: CallModsConfig, model_cfg):
     return _make_h0_stream(model_cfg, cfg.tseed)
 
 
+class _MegaResult:
+    """One fused (k, B, C) result; fetched from device once, on first use."""
+
+    def __init__(self, predict, fut):
+        self._predict = predict
+        self._fut = fut
+        self._arr = None
+
+    def get(self, gi: int) -> np.ndarray:
+        if self._arr is None:
+            self._arr = self._predict.collect(self._fut)
+            self._fut = None
+        return self._arr[gi]
+
+
+class _FusedDispatcher:
+    """Group k fixed-shape sub-batches into one fused device call
+    (parallel/mesh.py dispatch_many). Through a remote-attached device every
+    put/dispatch/fetch is a fixed-latency RPC; fusing divides the per-batch RPC
+    count by k (bench.py e2e megabatch probes). k=1 degrades to the plain
+    per-batch async dispatch. Partial groups are padded to k by repeating the
+    last batch so only ONE fused executable shape ever compiles; the padding
+    cost is paid only on flush() — callers flush at end-of-stream or when a
+    buffered result is demanded."""
+
+    def __init__(self, predict, k: int):
+        self.predict = predict
+        self.k = max(int(k), 1)
+        self._buf: list = []  # [(compact_feats, token)]
+
+    def dispatch(self, cf) -> list:
+        """Returns a token; resolve it with collect(). Token layout:
+        [holder_or_future | None(buffered), group_index | None(unfused)]."""
+        tok: list = [None, None]
+        if self.k == 1:
+            tok[0] = self.predict.dispatch_async(cf)
+            return tok
+        self._buf.append((cf, tok))
+        if len(self._buf) >= self.k:
+            self.flush()
+        return tok
+
+    def flush(self):
+        if not self._buf:
+            return
+        cfs = [cf for cf, _t in self._buf]
+        while len(cfs) < self.k:
+            cfs.append(cfs[-1])  # pad the group; extra results are dropped
+        holder = _MegaResult(self.predict,
+                             self.predict.dispatch_many_async(cfs))
+        for gi, (_cf, tok) in enumerate(self._buf):
+            tok[0] = holder
+            tok[1] = gi
+        self._buf = []
+
+    @staticmethod
+    def attached(tok) -> bool:
+        return tok[0] is not None
+
+    def collect(self, tok) -> np.ndarray:
+        if tok[0] is None:
+            self.flush()
+        if tok[1] is None:
+            return self.predict.collect(tok[0])
+        return tok[0].get(tok[1])
+
+
 class _Stats:
     def __init__(self):
         self.reads_in = 0
@@ -403,12 +475,13 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     # a holebatch's sub-batches are dispatched immediately; tagging/writing of a
     # previous holebatch overlaps the transfers/compute of the next
     pending: deque = deque()
+    fuser = _FusedDispatcher(predict, cfg.dispatch_fuse)
 
     def finalize(item):
         holebatch, idx_map, subs = item
         read_preds: dict[int, list[tuple[int, float]]] = {}
-        for fut, sub in subs:
-            probs = predict.collect(fut)[: sub.n_valid]
+        for tok, sub in subs:
+            probs = fuser.collect(tok)[: sub.n_valid]
             p0 = probs[:, 0].astype(np.float64)
             p1 = probs[:, 1].astype(np.float64)
             p1n = p1 / (p0 + p1)
@@ -465,10 +538,19 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                 cf = sub.compact_feats()
                 if h0_draw is not None:
                     cf.update(h0_draw(sub.n_valid, pad_n))
-                subs.append((predict.dispatch_async(cf), sub))
+                subs.append((fuser.dispatch(cf), sub))
         pending.append((holebatch, idx_map, subs))
-        while len(pending) > 2:
+        # finalize only slots whose sub-batches have all been dispatched (a
+        # fused group may still be buffering subs of the oldest slot); the hard
+        # cap bounds host memory when holebatches are tiny relative to k
+        while (len(pending) > 2
+               and all(fuser.attached(t) for t, _s in pending[0][2])):
             finalize(pending.popleft())
+        if len(pending) > max(4, 2 * fuser.k):
+            fuser.flush()
+            while len(pending) > 2:
+                finalize(pending.popleft())
+    fuser.flush()
     while pending:
         finalize(pending.popleft())
 
@@ -602,6 +684,7 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
     predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg)
+    fuser = _FusedDispatcher(predict, cfg.dispatch_fuse)
     h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
@@ -631,34 +714,35 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
             if shard is not None and not owns_read(w[3], *shard):
                 continue
             rows.append(w)
-            if len(rows) >= cfg.batch_size * 4:
-                _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne,
+            if len(rows) >= cfg.batch_size * max(4, cfg.dispatch_fuse):
+                _predict_tsv_rows(rows, cfg, fuser, pad_n, holeids_e, holeids_ne,
                                   wf, h0_draw)
                 rows = []
         if rows:
-            _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne,
+            _predict_tsv_rows(rows, cfg, fuser, pad_n, holeids_e, holeids_ne,
                               wf, h0_draw)
     wf.close()
     predict.close()
     return out_path
 
 
-def _predict_tsv_rows(rows, cfg, predict, pad_n, holeids_e, holeids_ne, wf,
+def _predict_tsv_rows(rows, cfg, fuser, pad_n, holeids_e, holeids_ne, wf,
                       h0_draw=None):
     batch, sampleinfo = _parse_tsv_batch(rows, cfg.seq_len, holeids_e, holeids_ne)
     if batch is None:
         return
-    # dispatch every sub-batch up front (async transfers overlap device compute;
-    # h0 draws stay in stream order on this thread), then collect in row order
+    # dispatch every sub-batch up front (fused k-batch device calls; transfers
+    # overlap device compute; h0 draws stay in stream order on this thread),
+    # then collect in row order
     dispatched = []
     for s in range(0, len(batch), pad_n):
         sub = batch.slice(s, min(s + pad_n, len(batch))).pad_to(pad_n)
         cf = sub.compact_feats()
         if h0_draw is not None:
             cf.update(h0_draw(sub.n_valid, pad_n))
-        dispatched.append((s, sub, predict.dispatch_async(cf)))
-    for s, sub, fut in dispatched:
-        probs = predict.collect(fut)[: sub.n_valid]
+        dispatched.append((s, sub, fuser.dispatch(cf)))
+    for s, sub, tok in dispatched:
+        probs = fuser.collect(tok)[: sub.n_valid]
         predicted = np.argmax(probs, axis=1)
         for j in range(sub.n_valid):
             i = s + j

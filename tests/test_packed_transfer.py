@@ -49,7 +49,53 @@ def test_packed_with_optional_channels():
     assert predict.row_bytes == 2 * (21 + 4 + 4 * 21 * 4 + 16 + 84)
 
 
-def test_packed_with_h0_replay():
+def test_dispatch_many_equals_per_batch():
+    """Fused k-batch megabatch dispatch (one put + one lax.scan device call,
+    mesh.py dispatch_many) is bit-equal to k independent packed dispatches."""
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(1234, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    fb = [_feats(48, seed=s) for s in range(4)]
+    ref = [np.asarray(predict(f)) for f in fb]
+    arr = np.asarray(predict.collect(predict.dispatch_many(fb)))
+    assert arr.shape == (4, 48, 2)
+    for i in range(4):
+        np.testing.assert_array_equal(arr[i], ref[i])
+
+
+def test_dispatch_many_with_h0():
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(5, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    rng = np.random.RandomState(3)
+    fb = []
+    for s in range(3):
+        f = _feats(16, seed=s)
+        f["h0"] = rng.randn(6, 16, 256).astype(np.float32)
+        f["h0_2"] = rng.randn(6, 16, 256).astype(np.float32)
+        fb.append(f)
+    ref = [np.asarray(predict(f)) for f in fb]
+    arr = np.asarray(predict.collect(predict.dispatch_many(fb)))
+    for i in range(3):
+        np.testing.assert_array_equal(arr[i], ref[i])
+
+
+def test_fused_dispatcher_partial_group_and_order():
+    """_FusedDispatcher pads partial groups (single executable) and resolves
+    tokens to the right per-batch results in any collect order."""
+    from ccsmeth_tpu.pipeline.call_mods import _FusedDispatcher
+
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(11, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    fb = [_feats(32, seed=s) for s in range(5)]
+    ref = [np.asarray(predict(f)) for f in fb]
+    fz = _FusedDispatcher(predict, 4)
+    toks = [fz.dispatch(f) for f in fb]  # 1 full group + 1 buffered
+    assert _FusedDispatcher.attached(toks[0])
+    assert not _FusedDispatcher.attached(toks[4])
+    for i in reversed(range(5)):  # out-of-order collection
+        np.testing.assert_array_equal(fz.collect(toks[i]), ref[i])
     cfg = AttRNNConfig(dropout_rate=0.0)
     params = init_attrnn(5, cfg)
     predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
