@@ -342,7 +342,7 @@ def _reg2bin(beg: int, end: int) -> int:
 class BamReader:
     """Sequential BAM/SAM reader. ``mode`` is inferred from the file content."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, span_bytes: int | None = None):
         self.path = path
         if path.endswith(".sam"):
             self._sam = open(path, "r")
@@ -358,7 +358,7 @@ class BamReader:
             self._bgzf = None
         else:
             self._sam = None
-            self._bgzf = BgzfReader(path)
+            self._bgzf = BgzfReader(path, span_bytes=span_bytes)
             magic = self._bgzf.read_exact(4)
             if magic != BAM_MAGIC:
                 raise ValueError("{} is not a BAM file".format(path))
@@ -437,8 +437,9 @@ def _parse_sam_line(line: str, header: BamHeader) -> BamRecord:
 
 
 class BamWriter:
-    def __init__(self, path: str, header: BamHeader, compresslevel: int = 6):
-        self._bgzf = BgzfWriter(path, compresslevel)
+    def __init__(self, path: str, header: BamHeader, compresslevel: int = 6,
+                 span_bytes: int | None = None):
+        self._bgzf = BgzfWriter(path, compresslevel, span_bytes=span_bytes)
         self.header = header
         text = header.text.encode("ascii")
         self._bgzf.write(BAM_MAGIC)
@@ -452,6 +453,12 @@ class BamWriter:
     def write(self, rec: BamRecord) -> None:
         self._bgzf.write(encode_record(rec))
 
+    def write_raw(self, raw: bytes) -> None:
+        """Write an already-encoded record blob (no 4-byte size prefix) —
+        bit-faithful pass-through for sort/merge/filter tooling."""
+        self._bgzf.write(struct.pack("<I", len(raw)))
+        self._bgzf.write(raw)
+
     def close(self) -> None:
         self._bgzf.close()
 
@@ -462,14 +469,123 @@ class BamWriter:
         self.close()
 
 
+def _iter_raw_records(bgzf: BgzfReader) -> Iterator[bytes]:
+    """Encoded record blobs (without the 4-byte block_size prefix) from a BGZF
+    stream positioned at the first record."""
+    while True:
+        szb = bgzf.read(4)
+        if len(szb) == 0:
+            return
+        if len(szb) < 4:
+            raise EOFError("truncated BAM record")
+        (block_size,) = struct.unpack("<I", szb)
+        yield bgzf.read_exact(block_size)
+
+
+def _raw_sort_key(raw: bytes) -> tuple[int, int]:
+    # refID/pos are the first two int32s of an encoded record (SAM spec §4.2);
+    # unmapped (refID -1) sorts last, matching samtools coordinate order
+    ref_id, pos = struct.unpack_from("<ii", raw, 0)
+    return (ref_id if ref_id >= 0 else 1 << 30, pos)
+
+
+def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
+             mem_budget_mb: int | None = 512, tmp_dir: str | None = None) -> dict:
+    """Coordinate-sort a BAM by (refID, pos) — disk-backed external merge sort,
+    replacing the reference's htslib-backed ``pysam.sort`` post-pass
+    (/root/reference/ccsmeth/call_modifications.py:592-599; samtools sort -m
+    semantics). Records are handled as raw encoded blobs (sort key = the
+    leading refID/pos int32 pair), so record images pass through bit-unchanged
+    and no decode/encode cost is paid.
+
+    Up to ``mem_budget_mb`` of raw records are buffered; each full buffer is
+    sorted (stable) and spilled as a BGZF run file, and the runs are k-way
+    merged (``heapq.merge``, stable across runs created in input order) — so
+    the output byte stream is IDENTICAL for any budget, including the
+    no-spill in-memory fast path (``mem_budget_mb=None``). Returns
+    ``{"records": n, "runs": k}`` (runs == 0 when everything fit in memory).
+    """
+    import heapq
+    import os
+    import shutil
+    import tempfile
+
+    # bound the codec spans by the budget so "sort in X MB" means the whole
+    # pass (reader buffers + record buffer + writer buffers), not just the
+    # record buffer
+    budget0 = None if mem_budget_mb is None else int(mem_budget_mb) << 20
+    in_span = (None if budget0 is None
+               else min(8 << 20, max(128 << 10, budget0 // 4)))
+    w_span = None if budget0 is None else max(128 << 10, budget0 // 2)
+    reader = BamReader(in_path, span_bytes=in_span)
+    if reader._bgzf is None:  # SAM text input (test/tooling path): tiny, in-memory
+        recs = list(reader)
+        reader.close()
+        recs.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
+        with BamWriter(out_path, reader.header, compresslevel) as w:
+            for r in recs:
+                w.write(r)
+        return {"records": len(recs), "runs": 0}
+
+    budget = budget0
+    buf: list[bytes] = []
+    buf_bytes = 0
+    runs: list[str] = []
+    tdir: str | None = None
+    n_records = 0
+
+    def spill() -> None:
+        nonlocal buf, buf_bytes, tdir
+        buf.sort(key=_raw_sort_key)
+        if tdir is None:
+            tdir = tempfile.mkdtemp(
+                prefix=".bamsort.",
+                dir=tmp_dir or os.path.dirname(os.path.abspath(out_path)))
+        rp = os.path.join(tdir, "run{:05d}.bgzf".format(len(runs)))
+        with BgzfWriter(rp, compresslevel=1, span_bytes=w_span) as w:  # fast temps
+            for r in buf:
+                w.write(struct.pack("<I", len(r)))
+                w.write(r)
+        runs.append(rp)
+        buf = []
+        buf_bytes = 0
+
+    try:
+        for raw in _iter_raw_records(reader._bgzf):
+            n_records += 1
+            buf.append(raw)
+            buf_bytes += len(raw) + 57  # + CPython bytes-object overhead
+            if budget is not None and buf_bytes >= budget:
+                spill()
+        reader.close()
+        if not runs:  # everything fit: single in-memory run, no temp IO
+            buf.sort(key=_raw_sort_key)
+            with BamWriter(out_path, reader.header, compresslevel,
+                           span_bytes=w_span) as w:
+                for r in buf:
+                    w.write_raw(r)
+            return {"records": n_records, "runs": 0}
+        if buf:
+            spill()
+        run_span = min(4 << 20, max(32 << 10,
+                                    (budget or 8 << 20) // (len(runs) + 1)))
+        readers = [BgzfReader(rp, span_bytes=run_span) for rp in runs]
+        try:
+            with BamWriter(out_path, reader.header, compresslevel,
+                           span_bytes=w_span) as w:
+                for raw in heapq.merge(*(_iter_raw_records(rf) for rf in readers),
+                                       key=_raw_sort_key):
+                    w.write_raw(raw)
+        finally:
+            for rf in readers:
+                rf.close()
+        return {"records": n_records, "runs": len(runs)}
+    finally:
+        if tdir is not None:
+            shutil.rmtree(tdir, ignore_errors=True)
+
+
 def sort_bam_in_memory(in_path: str, out_path: str, compresslevel: int = 6) -> None:
-    """Coordinate-sort a BAM (replaces the reference's pysam.sort post-pass,
-    call_modifications.py:592-599). In-memory; adequate per-chromosome/demo scale —
-    large-scale external merge lands with the native IO layer."""
-    reader = BamReader(in_path)
-    recs = list(reader)
-    reader.close()
-    recs.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
-    with BamWriter(out_path, reader.header, compresslevel) as w:
-        for r in recs:
-            w.write(r)
+    """Single-run (never-spilling) coordinate sort; kept for small inputs and
+    backward compatibility — byte-identical to sort_bam at any budget."""
+    sort_bam(in_path, out_path, compresslevel, mem_budget_mb=None)

@@ -64,13 +64,17 @@ class BgzfReader(io.RawIOBase):
     # memory to ~4x this while keeping the thread pool fed
     NATIVE_SPAN = 32 << 20
 
-    def __init__(self, source, use_native: bool = True):
+    def __init__(self, source, use_native: bool = True,
+                 span_bytes: int | None = None):
         if isinstance(source, (str, bytes)):
             self._fh = open(source, "rb")
             self._own = True
         else:
             self._fh = source
             self._own = False
+        # per-span compressed read size: callers that must bound resident
+        # memory (e.g. the external merge sort's many run readers) shrink it
+        self._span = int(span_bytes) if span_bytes else self.NATIVE_SPAN
         self._buf = b""
         self._buf_pos = 0
         self._block_start = 0  # file offset of current block
@@ -127,12 +131,21 @@ class BgzfReader(io.RawIOBase):
         """Pull a span of compressed bytes and parallel-decompress its complete
         blocks; the split tail block carries into the next span."""
         while True:
-            chunk = self._tail + self._fh.read(self.NATIVE_SPAN)
+            chunk = self._tail + self._fh.read(self._span)
             self._tail = b""
             if not chunk:
                 self._eof = True
                 return False
             cut = self._complete_prefix_len(chunk)
+            while cut == 0:
+                # span smaller than one compressed block: grow until a whole
+                # block frames (keeps small memory-capped spans streaming
+                # instead of falling back to a slurp-everything python path)
+                more = self._fh.read(self._span)
+                if not more:
+                    break
+                chunk += more
+                cut = self._complete_prefix_len(chunk)
             if cut == 0:
                 # can't frame a single block natively -> permanent python path
                 self._pushback(chunk)
@@ -254,9 +267,14 @@ class BgzfWriter(io.RawIOBase):
     compressed in parallel; otherwise blocks flush one-by-one through zlib.
     """
 
-    NATIVE_SPAN = 8 << 20
+    # always a multiple of _MAX_BLOCK_DATA: every full block then carries
+    # exactly 65280 payload bytes, so the compressed byte stream is identical
+    # for ANY span size (memory-capped writers shrink it without changing
+    # the output bytes)
+    NATIVE_SPAN = 128 * _MAX_BLOCK_DATA  # ~8 MB
 
-    def __init__(self, sink, compresslevel: int = 6, use_native: bool = True):
+    def __init__(self, sink, compresslevel: int = 6, use_native: bool = True,
+                 span_bytes: int | None = None):
         if isinstance(sink, (str, bytes)):
             self._fh = open(sink, "wb")
             self._own = True
@@ -264,6 +282,9 @@ class BgzfWriter(io.RawIOBase):
             self._fh = sink
             self._own = False
         self._level = compresslevel
+        if span_bytes:  # bound buffered payload for memory-capped writers
+            self.NATIVE_SPAN = max(
+                int(span_bytes) // _MAX_BLOCK_DATA, 1) * _MAX_BLOCK_DATA
         self._buf = bytearray()
         self._native = None
         if use_native:

@@ -136,7 +136,7 @@ def main_call_mods(args):
         skip_unmapped=str2bool(args.skip_unmapped), holeids_e=args.holeids_e,
         holeids_ne=args.holeids_ne, gzip_out=args.gzip,
         rnn_backend=args.rnn_backend, precision=args.precision,
-        dispatch_fuse=args.dispatch_fuse,
+        dispatch_fuse=args.dispatch_fuse, sort_mem_mb=args.sort_mem_mb,
         profile_dir=args.profile_dir, h0_mode=args.h0_mode, tseed=args.tseed,
         num_processes=args.num_processes, process_id=args.process_id)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
@@ -333,6 +333,10 @@ def get_parser() -> argparse.ArgumentParser:
     gc.add_argument("--precision", type=str, default="fp32",
                     choices=["fp32", "bf16"],
                     help="compute precision for the pallas fast path, default fp32")
+    gc.add_argument("--sort_mem_mb", type=int, default=512,
+                    help="memory budget for the output-modbam external merge "
+                         "sort; sorted runs spill to disk beyond this "
+                         "(samtools sort -m equivalent), default 512")
     gc.add_argument("--dispatch_fuse", type=int, default=8,
                     help="fuse this many fixed-shape batches into one device "
                          "call (one transfer+dispatch+fetch RPC per group; "

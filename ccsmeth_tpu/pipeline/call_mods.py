@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-from ..bamio import BamReader, BamWriter, sort_bam_in_memory
+from ..bamio import BamReader, BamWriter, sort_bam
 from ..features import ExtractConfig, batch_from_reads, extract_read_features
 from ..features.batch import FeatureBatch
 from ..models import AttRNNConfig, TransEncConfig, apply_attrnn, torch_ckpt_to_params
@@ -63,6 +63,11 @@ class CallModsConfig:
     holes_batch: int = 50
     keep_pulse: bool = False
     no_sort: bool = False
+    # output-sort memory budget (MB): the post-pass external merge sort
+    # (bamio.sort_bam) spills sorted runs to disk beyond this, so whole-genome
+    # modbams sort in bounded RAM (reference: htslib disk-backed pysam.sort,
+    # call_modifications.py:592-607)
+    sort_mem_mb: int = 512
     threads: int = 4
     # extraction options
     mode: str = "denovo"
@@ -585,7 +590,10 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     if not cfg.no_sort:
         LOGGER.info("sorting modbam file..")
         tmp_sorted = os.path.splitext(out_modbam)[0] + ".sorted.bam"
-        sort_bam_in_memory(out_modbam, tmp_sorted)
+        st = sort_bam(out_modbam, tmp_sorted, mem_budget_mb=cfg.sort_mem_mb)
+        if st["runs"]:
+            LOGGER.info("external merge sort: %d records in %d spilled runs",
+                        st["records"], st["runs"])
         os.replace(tmp_sorted, out_modbam)
         try:
             LOGGER.info("indexing modbam file..")

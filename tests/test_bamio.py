@@ -2,6 +2,7 @@
 multi-member gzip, so stdlib gzip must read our output byte-exactly)."""
 
 import gzip
+import os
 import struct
 
 import numpy as np
@@ -161,6 +162,99 @@ def test_synth_bam_and_sort(tmp_path):
     sort_bam_in_memory(p2, p3)
     poss = [r.pos for r in BamReader(p3)]
     assert poss == sorted(poss)
+
+
+def _make_unsorted_bam(path, n_reads, read_len=2000, seed=7):
+    """Synthetic BAM, then shuffle records so sorting has real work to do."""
+    tmp = path + ".insorted"
+    make_synth_bam(tmp, n_reads=n_reads, read_len=read_len, ref_len=500000)
+    rd = BamReader(tmp)
+    recs = list(rd)
+    rng = np.random.RandomState(seed)
+    with BamWriter(path, rd.header) as w:
+        for i in rng.permutation(len(recs)):
+            w.write(recs[i])
+    os.remove(tmp)
+    return len(recs)
+
+
+def test_external_sort_matches_in_memory_byte_identical(tmp_path):
+    """VERDICT r2 #1: disk-backed external merge sort. A BAM several times the
+    buffer budget must spill multiple runs and still produce a byte stream
+    IDENTICAL to the never-spilling in-memory path."""
+    from ccsmeth_tpu.bamio import sort_bam
+
+    p = str(tmp_path / "big.bam")
+    n = _make_unsorted_bam(p, n_reads=400, read_len=2000)  # ~2.5 MB raw records
+    out_mem = str(tmp_path / "mem.bam")
+    out_ext = str(tmp_path / "ext.bam")
+    st_mem = sort_bam(p, out_mem, mem_budget_mb=None)
+    st_ext = sort_bam(p, out_ext, mem_budget_mb=1)  # force spills: >=3 runs
+    assert st_mem == {"records": n, "runs": 0}
+    assert st_ext["records"] == n and st_ext["runs"] >= 3
+    with open(out_mem, "rb") as a, open(out_ext, "rb") as b:
+        assert a.read() == b.read()
+    # no temp run files left behind
+    assert not [f for f in os.listdir(tmp_path) if f.startswith(".bamsort")]
+    poss = [(r.ref_id, r.pos) for r in BamReader(out_ext)]
+    assert poss == sorted(poss)
+    recs_in = sorted((r.qname for r in BamReader(p)))
+    recs_out = sorted((r.qname for r in BamReader(out_ext)))
+    assert recs_in == recs_out
+
+
+def test_external_sort_bounded_memory(tmp_path):
+    """The spilling sort must hold ~budget bytes, not the whole file: peak
+    traced Python allocations on a ~14 MB record stream under a 1 MB budget
+    stay far below the file size (enforced cap = the VERDICT done-criterion)."""
+    import tracemalloc
+
+    from ccsmeth_tpu.bamio import sort_bam
+
+    p = str(tmp_path / "big.bam")
+    _make_unsorted_bam(p, n_reads=2200, read_len=2000, seed=11)  # ~14 MB of records
+    out = str(tmp_path / "sorted.bam")
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    st = sort_bam(p, out, mem_budget_mb=1)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert st["runs"] >= 10
+    # 1 MB budget + bounded constant overhead (codec spans for the input/run/
+    # output streams + per-record objects): far below the ~14 MB record stream.
+    # An unbounded (whole-file) sort holds >= file size by construction.
+    assert peak < 8 << 20, "peak {} bytes exceeds bounded-sort cap".format(peak)
+    poss = [(r.ref_id, r.pos) for r in BamReader(out)]
+    assert poss == sorted(poss)
+    assert len(poss) == st["records"] == 2200
+
+
+def test_external_sort_stability_equal_keys(tmp_path):
+    """Records with EQUAL (refID, pos) keep input order at any budget (stable
+    sort + stable k-way merge) — required for deterministic outputs."""
+    from ccsmeth_tpu.bamio import sort_bam
+    from ccsmeth_tpu.bamio.bam import BamHeader
+
+    p = str(tmp_path / "dup.bam")
+    header = BamHeader("@SQ\tSN:c1\tLN:1000\n", [("c1", 1000)])
+    with BamWriter(p, header) as w:
+        for i in range(500):
+            w.write(BamRecord(qname="q{:04d}".format(i), flag=0, ref_id=0,
+                              pos=(i * 13) % 5, mapq=60, cigar=[(0, 4)],
+                              seq="ACGT", qual=np.full(4, 30, np.uint8)))
+    out1 = str(tmp_path / "s1.bam")
+    out2 = str(tmp_path / "s2.bam")
+    sort_bam(p, out1, mem_budget_mb=None)
+    st = sort_bam(p, out2, mem_budget_mb=0)  # one record per run: max merge stress
+    assert st["runs"] == 500
+    names1 = [r.qname for r in BamReader(out1)]
+    names2 = [r.qname for r in BamReader(out2)]
+    assert names1 == names2
+    by_pos: dict = {}
+    for r in BamReader(out1):
+        by_pos.setdefault(r.pos, []).append(r.qname)
+    for pos, names in by_pos.items():
+        assert names == sorted(names), "input order lost at pos {}".format(pos)
 
 
 def test_sam_text_reader(tmp_path):
