@@ -123,7 +123,9 @@ def apply_src_embed(params, x, train=False):
 def init_attrnn(seed: int, cfg: AttRNNConfig) -> dict:
     """Init matching the reference's init_weights (uniform +-0.1 embeds/classifier,
     zero classifier bias; torch defaults elsewhere). Returns a numpy params pytree."""
-    rng = np.random.RandomState(seed)
+    # seed may be an int or a duck-typed rng (e.g. a shape-only probe
+    # that returns np.empty — used for allocation-free ckpt shape checks)
+    rng = seed if hasattr(seed, "uniform") else np.random.RandomState(seed)
     H = cfg.hidden_size
     params: dict = {}
     if cfg.embedded_kinetics:
@@ -344,7 +346,9 @@ def apply_attrnn_ss(params: dict, cfg: AttRNNConfig, feats: dict,
 
 
 def init_aggr_attrnn(seed: int, cfg: AggrConfig) -> dict:
-    rng = np.random.RandomState(seed)
+    # seed may be an int or a duck-typed rng (e.g. a shape-only probe
+    # that returns np.empty — used for allocation-free ckpt shape checks)
+    rng = seed if hasattr(seed, "uniform") else np.random.RandomState(seed)
     H = cfg.hidden_size
     return {
         "rnn": init_rnn_params(rng, cfg.binsize + 1, H, cfg.num_layers, cfg.rnn_cell),

@@ -30,7 +30,9 @@ from .config import TransEncConfig
 
 
 def init_transenc(seed: int, cfg: TransEncConfig) -> dict:
-    rng = np.random.RandomState(seed)
+    # seed may be an int or a duck-typed rng (e.g. a shape-only probe
+    # that returns np.empty — used for allocation-free ckpt shape checks)
+    rng = seed if hasattr(seed, "uniform") else np.random.RandomState(seed)
     d = cfg.d_model
     nembed_all = NEMBED_BASE + 2 * NEMBED_KINETICS
     params: dict = {

@@ -190,12 +190,18 @@ class AggrPredictor:
     PAD = 1024
 
     def __init__(self, cfg: FreqBamConfig, local_only: bool = False):
-        """local_only: build the mesh over this process's devices only — used in
-        --dist_coordinator mode, where only rank 0 runs the regressor (on the
-        small merged window batches) while the global mesh is reserved for the
-        collective count merges."""
+        """The regressor always runs on ONE local device: the model is ~61 KB
+        and per-region window batches are small, so scale-out rides region
+        decomposition — and pinning makes scores independent of the device
+        count/mesh layout (XLA partitioning would otherwise perturb fp32
+        accumulation at the round(.,6) boundary), matching the reference's
+        per-worker CPU inference (call_mods_freq_bam.py:308-342) which is
+        deterministic regardless of worker layout. ``local_only`` is kept for
+        call-site documentation (--dist_coordinator rank-0 use); both modes
+        now pin identically."""
         import jax
 
+        del local_only  # single-device pinning covers both modes
         acfg = AggrConfig(seq_len=cfg.seq_len, num_layers=cfg.layer_rnn,
                           num_classes=cfg.class_num, dropout_rate=0.0,
                           hidden_size=cfg.hid_rnn, binsize=cfg.bin_size,
@@ -206,12 +212,11 @@ class AggrPredictor:
             params = load_params(cfg.aggre_model)
         else:
             params = torch_ckpt_to_params(cfg.aggre_model, acfg)
-        mesh = data_mesh(jax.local_devices() if local_only else None)
+        mesh = data_mesh([jax.local_devices()[0]])
         rep = replicated_spec(mesh)
         bsp = shard_batch_spec(mesh)
         params = jax.device_put(params, rep)
-        self._n_dev = mesh.devices.size
-        self.PAD = -(-self.PAD // self._n_dev) * self._n_dev
+        self._n_dev = 1
 
         L, NB = cfg.seq_len, cfg.bin_size
 
@@ -236,9 +241,19 @@ class AggrPredictor:
         # float32 end-to-end: the reference keeps torch's float32 logits through
         # round/clip and the freq.txt strings inherit float32 repr (lines 302,402)
         out = np.empty(N, dtype=np.float32)
-        # dispatch every chunk before collecting any (jax dispatch is async, so
-        # device compute of chunk k overlaps the host pack/put of chunk k+1)
-        futs = []
+        # dispatch a few chunks ahead of collection (jax dispatch is async, so
+        # device compute of chunk k overlaps the host pack/put of chunk k+1);
+        # the in-flight cap bounds device input buffers on dense chunks —
+        # overlap gains saturate within a small depth
+        from collections import deque
+
+        futs: deque = deque()
+
+        def drain_one():
+            s, e, n, res = futs.popleft()
+            res = np.asarray(res)
+            out[s:e] = np.round(np.clip(res[:n, 0], 0, 1), 6)
+
         for s in range(0, N, self.PAD):
             e = min(s + self.PAD, N)
             n = e - s
@@ -247,9 +262,10 @@ class AggrPredictor:
             flat[:n, :L] = offsets[s:e]
             flat[:n, L:] = histos[s:e].reshape(n, -1)
             futs.append((s, e, n, self._fwd(jax.device_put(flat, self._bsp))))
-        for s, e, n, res in futs:
-            res = np.asarray(res)
-            out[s:e] = np.round(np.clip(res[:n, 0], 0, 1), 6)
+            while len(futs) > 3:
+                drain_one()
+        while futs:
+            drain_one()
         return out
 
 

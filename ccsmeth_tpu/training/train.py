@@ -284,6 +284,7 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
     def jstep(params, opt_state, feats, labels, mask, rng):
         return jit_dict(params, opt_state, feats, labels, mask, rng)
 
+    jstep.jitted = jit_dict  # AOT handle (lower/compile) for cost-model gates
     jstep.packed = jit_packed
     jstep.pack_batch = lambda feats, labels, mask: _pack_cols(fields, feats,
                                                               labels, mask)
@@ -496,7 +497,9 @@ def train(cfg: TrainConfig) -> dict:
         return float(np.mean(vlosses)) if vlosses else 0.0, acc, prec, rec
 
     stop = False
+    epoch_walls: list[float] = []  # epoch 1 includes compiles; 2+ are steady-state
     for epoch in range(start_epoch, cfg.max_epoch_num):
+        epoch_t0 = time.time()
         curr_best_epoch = 0.0
         accs_per_epoch: list[float] = []
         no_best_model = True
@@ -507,55 +510,58 @@ def train(cfg: TrainConfig) -> dict:
         staged_train = _prefetch(train_ds.batches(
             cfg.batch_size, True, nprng, pad_to=pad_n, shard=shard,
             drop_remainder=n_proc > 1), stage_for(train_step))
-        for gflat in staged_train:
-            i += 1
-            if n_proc > 1 and i >= total_step:
-                break  # equal collective step count on every host
-            rng, sub = jax.random.split(rng)
-            params, opt_state, loss = train_step.packed(params, opt_state,
-                                                        gflat, sub)
-            # keep losses on device; fetch only at logging boundaries (a float()
-            # per step is a host sync per step — expensive on remote runtimes)
-            tlosses.append(loss)
-            if (i + 1) % cfg.step_interval == 0 or (i + 1) == total_step:
-                tloss_mean = (float(jnp.mean(jnp.stack(tlosses)))
-                              if tlosses else 0.0)
-                v_meanloss, v_acc, v_prec, v_rec = run_valid(params)
-                accs_per_epoch.append(v_acc)
-                if v_acc > curr_best_epoch:
-                    curr_best_epoch = v_acc
-                    if curr_best_epoch > curr_best_accuracy - 0.0002 and is_main:
-                        p = (model_dir + cfg.model_type
-                             + ".b{}_epoch{}.ckpt.npz".format(cfg.seq_len, epoch + 1))
-                        save_params(p, jax.device_get(params))
-                        ckpts.append(p)
-                        if cfg.save_opt_state:
-                            save_train_state(
-                                p.replace(".ckpt.npz", ".train_state.npz"),
-                                jax.device_get(opt_state), epoch + 1)
-                        if curr_best_epoch > curr_best_accuracy:
+        try:
+            for gflat in staged_train:
+                i += 1
+                if n_proc > 1 and i >= total_step:
+                    break  # equal collective step count on every host
+                rng, sub = jax.random.split(rng)
+                params, opt_state, loss = train_step.packed(params, opt_state,
+                                                            gflat, sub)
+                # keep losses on device; fetch only at logging boundaries (a float()
+                # per step is a host sync per step — expensive on remote runtimes)
+                tlosses.append(loss)
+                if (i + 1) % cfg.step_interval == 0 or (i + 1) == total_step:
+                    tloss_mean = (float(jnp.mean(jnp.stack(tlosses)))
+                                  if tlosses else 0.0)
+                    v_meanloss, v_acc, v_prec, v_rec = run_valid(params)
+                    accs_per_epoch.append(v_acc)
+                    if v_acc > curr_best_epoch:
+                        curr_best_epoch = v_acc
+                        if curr_best_epoch > curr_best_accuracy - 0.0002 and is_main:
+                            p = (model_dir + cfg.model_type
+                                 + ".b{}_epoch{}.ckpt.npz".format(cfg.seq_len, epoch + 1))
+                            save_params(p, jax.device_get(params))
+                            ckpts.append(p)
+                            if cfg.save_opt_state:
+                                save_train_state(
+                                    p.replace(".ckpt.npz", ".train_state.npz"),
+                                    jax.device_get(opt_state), epoch + 1)
+                            if curr_best_epoch > curr_best_accuracy:
+                                curr_best_accuracy = curr_best_epoch
+                                curr_best_loc = epoch + 1
+                                no_best_model = False
+                        elif curr_best_epoch > curr_best_accuracy:
                             curr_best_accuracy = curr_best_epoch
                             curr_best_loc = epoch + 1
                             no_best_model = False
-                    elif curr_best_epoch > curr_best_accuracy:
-                        curr_best_accuracy = curr_best_epoch
-                        curr_best_loc = epoch + 1
-                        no_best_model = False
-                    if best_epoch_accs and curr_best_epoch > best_epoch_accs[-1] and is_main:
-                        p = (model_dir + cfg.model_type
-                             + ".betterthanlast.b{}_epoch{}.ckpt.npz".format(
-                                 cfg.seq_len, epoch + 1))
-                        save_params(p, jax.device_get(params))
-                LOGGER.info(
-                    "Epoch [%d/%d], Step [%d/%d]; LR: %.4e; TrainLoss: %.4f; "
-                    "ValidLoss: %.4f, Acc: %.4f, Prec: %.4f, Reca: %.4f, "
-                    "CurrE_best_acc: %.4f, Best_acc: %.4f; Time: %.2fs",
-                    epoch + 1, cfg.max_epoch_num, i + 1, total_step, sched.lr,
-                    tloss_mean, v_meanloss, v_acc, v_prec, v_rec,
-                    curr_best_epoch, curr_best_accuracy, time.time() - start)
-                tlosses = []
-                start = time.time()
-        staged_train.close()
+                        if best_epoch_accs and curr_best_epoch > best_epoch_accs[-1] and is_main:
+                            p = (model_dir + cfg.model_type
+                                 + ".betterthanlast.b{}_epoch{}.ckpt.npz".format(
+                                     cfg.seq_len, epoch + 1))
+                            save_params(p, jax.device_get(params))
+                    LOGGER.info(
+                        "Epoch [%d/%d], Step [%d/%d]; LR: %.4e; TrainLoss: %.4f; "
+                        "ValidLoss: %.4f, Acc: %.4f, Prec: %.4f, Reca: %.4f, "
+                        "CurrE_best_acc: %.4f, Best_acc: %.4f; Time: %.2fs",
+                        epoch + 1, cfg.max_epoch_num, i + 1, total_step, sched.lr,
+                        tloss_mean, v_meanloss, v_acc, v_prec, v_rec,
+                        curr_best_epoch, curr_best_accuracy, time.time() - start)
+                    tlosses = []
+                    start = time.time()
+        finally:
+            staged_train.close()
+        epoch_walls.append(time.time() - epoch_t0)
         new_lr = sched.epoch_end(accs_per_epoch or [0.0])
         opt_state = set_learning_rate(opt_state, new_lr)
         best_epoch_accs.append(curr_best_epoch)
@@ -567,4 +573,4 @@ def train(cfg: TrainConfig) -> dict:
     LOGGER.info("[main]train costs %.1f seconds, best accuracy: %s (epoch %d)",
                 time.time() - t0, curr_best_accuracy, curr_best_loc)
     return {"best_accuracy": curr_best_accuracy, "best_epoch": curr_best_loc,
-            "ckpts": ckpts}
+            "ckpts": ckpts, "epoch_wall_s": epoch_walls}

@@ -164,13 +164,7 @@ def test_two_process_aggregate_merge_equals_single(modbam, tmp_path):
     got = _rows_by_tag([p for p in got_paths if os.path.exists(p)])
     assert set(got) == set(want)
     for tag in want:
-        a, b = got[tag], want[tag]
-        assert len(a) == len(b)
-        # sites/coverages must be identical; the aggregate regressor runs on a
-        # 4-device rank-0 mesh vs the parent's 8-device mesh, so allow a tiny
-        # number of 6dp-rounding differences in the model-scored frequencies
-        assert [(r[0], r[1], r[2], r[3]) for r in a] == \
-               [(r[0], r[1], r[2], r[3]) for r in b]
-        n_diff = sum(1 for x, y in zip(a, b) if x != y)
-        assert n_diff <= max(1, len(b) // 200), \
-            "{}: {} rows differ".format(tag, n_diff)
+        # EXACT row equality: the aggregate regressor is pinned to one device
+        # (AggrPredictor), so model scores cannot depend on mesh layout or
+        # device count (VERDICT r2 weak #6)
+        assert got[tag] == want[tag], "{} rows differ".format(tag)

@@ -1,21 +1,21 @@
-"""Parallel-overhead gate for the shard_map DDP train step — the measurable
-stand-in for the >=85% multi-chip scaling target (SURVEY.md §6) on this host.
+"""Scaling gates for the shard_map DDP train step — the measurable stand-in
+for the >=85% multi-chip scaling target (SURVEY.md §6) on this host.
 
 True weak scaling (constant per-device batch) cannot be measured with virtual
 CPU devices: 8 devices on a fixed 4-core host execute 8x the FLOPs on the same
-silicon, so wall time necessarily grows with the device count regardless of how
-communication-efficient the step is. What CAN be measured — and what the step
-design actually controls — is the parallelization overhead at constant GLOBAL
-batch: the 8-device step runs the same total FLOPs as the 1-device step plus
-the collectives/dispatch/resharding the DDP decomposition adds. An efficient
-step keeps that overhead small; an inefficient one (e.g. the round-1 GSPMD
-auto-sharding that resharded the RNN scan's backward accumulators through
-replication — "[SPMD] Involuntary full rematerialization") blows it up.
+silicon. What CAN be gated — and what the step design actually controls — is:
 
-Gate: t_8dev(global B) <= 1.5 x t_1dev(B), best-of-5 per side (generous bound:
-the XLA CPU backend parallelizes a single-device matmul across all host cores,
-while 8 virtual devices partition the same cores; ratios ~1.0-1.2 are typical
-for this step, but CI noise on a shared 4-core box warrants headroom).
+1. **Compiled per-device cost** (the teeth, VERDICT r2 weak #5): XLA's
+   cost_analysis of the SPMD-partitioned executable. At constant global batch,
+   per-device FLOPs must be ~1/8 of the single-device step. A decomposition
+   regression — e.g. the round-1 GSPMD auto-sharding that resharded the RNN
+   scan's backward accumulators through replication ("[SPMD] Involuntary full
+   rematerialization") — replicates work and blows this up immediately, with
+   zero timing noise.
+2. **Wall-clock overhead** at constant global batch, best-of-7: the 8-device
+   step runs the same total FLOPs plus collectives/dispatch; the bound is
+   1.2x so a 25% per-step regression fails (the round-1 bound of 1.5x could
+   hide one).
 """
 
 import time
@@ -28,11 +28,10 @@ from ccsmeth_tpu.models import AttRNNConfig, init_attrnn
 from ccsmeth_tpu.training.optim import build_optimizer
 from ccsmeth_tpu.training.train import make_train_step
 
-
 from tests.synth import example_feats as _example_feats
 
 
-def _step_time(n_devices: int, B: int, reps: int = 5) -> float:
+def _build(n_devices: int, B: int):
     cfg = AttRNNConfig(num_layers=2, hidden_size=128, dropout_rate=0.1)
     params = init_attrnn(0, cfg)
     tx = build_optimizer("Adam", 1e-3)
@@ -43,16 +42,48 @@ def _step_time(n_devices: int, B: int, reps: int = 5) -> float:
     labels = np.random.RandomState(0).randint(0, 2, B).astype(np.int32)
     mask = np.ones(B, np.float32)
     rng = jax.random.PRNGKey(0)
-    # warm (compile) + sync
-    p, o, loss = step(params, opt_state, feats, labels, mask, rng)
+    args = (params, opt_state, feats, labels, mask, rng)
+    return step, args
+
+
+def _per_device_cost(n_devices: int, B: int) -> dict:
+    step, args = _build(n_devices, B)
+    cost = step.jitted.lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return cost
+
+
+def _step_time(n_devices: int, B: int, reps: int = 7) -> float:
+    step, args = _build(n_devices, B)
+    p, o, loss = step(*args)  # warm (compile) + sync
     jax.block_until_ready(loss)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        p, o, loss = step(params, opt_state, feats, labels, mask, rng)
+        p, o, loss = step(*args)
         jax.block_until_ready((p, o, loss))
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def test_ddp_per_device_compiled_flops_scale_with_devices():
+    """Per-device compiled FLOPs at constant global batch must shrink ~8x on 8
+    devices — fails on ANY involuntary replication/rematerialization of the
+    fwd/bwd work, independent of host timing noise."""
+    assert jax.device_count() == 8
+    B = 256
+    f1 = _per_device_cost(1, B)["flops"]
+    f8 = _per_device_cost(8, B)["flops"]
+    assert f1 > 0 and f8 > 0
+    ratio = f8 / (f1 / 8)
+    print("per-device flops: 1dev={:.3e} 8dev={:.3e} (8dev vs ideal {:.2f}x)"
+          .format(f1, f8, ratio))
+    # 1.25x headroom covers the replicated optimizer update + loss epilogue
+    # (O(params)), which don't shard with batch; full remat would be ~8x
+    assert ratio <= 1.25, (
+        "8-device per-device FLOPs {:.3e} exceed 1.25x the ideal 1/8 share "
+        "{:.3e} — the step is replicating work".format(f8, f1 / 8))
 
 
 def test_ddp_step_overhead_constant_global_batch():
@@ -62,6 +93,6 @@ def test_ddp_step_overhead_constant_global_batch():
     t8 = _step_time(8, B)
     ratio = t8 / t1
     print("t_1dev={:.4f}s t_8dev={:.4f}s ratio={:.2f}".format(t1, t8, ratio))
-    assert ratio <= 1.5, (
+    assert ratio <= 1.2, (
         "8-device DDP step overhead too high: {:.2f}x the 1-device step at the "
         "same global batch".format(ratio))
