@@ -48,7 +48,10 @@ def bench(fn, x, iters=10):
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    for cell, mt in (("gru", "attbigru2s"), ("lstm", "attbilstm2s")):
+    only = sys.argv[2] if len(sys.argv) > 2 else None  # 'gru' | 'lstm'
+    cells = [c for c in (("gru", "attbigru2s"), ("lstm", "attbilstm2s"))
+             if only in (None, c[0])]
+    for cell, mt in cells:
         cfg = AttRNNConfig(dropout_rate=0.0, model_type=mt)
         layers = init_attrnn(7, cfg)["rnn"]
         x = jax.device_put(np.random.RandomState(0).randn(B, 21, 11).astype(
