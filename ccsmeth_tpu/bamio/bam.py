@@ -489,6 +489,21 @@ def _raw_sort_key(raw: bytes) -> tuple[int, int]:
     return (ref_id if ref_id >= 0 else 1 << 30, pos)
 
 
+def _header_with_so_coordinate(header: BamHeader) -> BamHeader:
+    """Header with @HD SO:coordinate stamped (samtools sort behavior) — lets
+    downstream consumers (call_freqb streaming mode) trust the sort order."""
+    lines = header.text.splitlines()
+    if lines and lines[0].startswith("@HD"):
+        fields = [f for f in lines[0].split("\t") if not f.startswith("SO:")]
+        lines[0] = "\t".join(fields + ["SO:coordinate"])
+    else:
+        lines.insert(0, "@HD\tVN:1.6\tSO:coordinate")
+    text = "\n".join(lines)
+    if text:
+        text += "\n"
+    return BamHeader(text, header.references)
+
+
 def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
              mem_budget_mb: int | None = 512, tmp_dir: str | None = None) -> dict:
     """Coordinate-sort a BAM by (refID, pos) — disk-backed external merge sort,
@@ -522,7 +537,8 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
         recs = list(reader)
         reader.close()
         recs.sort(key=lambda r: (r.ref_id if r.ref_id >= 0 else 1 << 30, r.pos))
-        with BamWriter(out_path, reader.header, compresslevel) as w:
+        with BamWriter(out_path, _header_with_so_coordinate(reader.header),
+                       compresslevel) as w:
             for r in recs:
                 w.write(r)
         return {"records": len(recs), "runs": 0}
@@ -560,8 +576,8 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
         reader.close()
         if not runs:  # everything fit: single in-memory run, no temp IO
             buf.sort(key=_raw_sort_key)
-            with BamWriter(out_path, reader.header, compresslevel,
-                           span_bytes=w_span) as w:
+            with BamWriter(out_path, _header_with_so_coordinate(reader.header),
+                           compresslevel, span_bytes=w_span) as w:
                 for r in buf:
                     w.write_raw(r)
             return {"records": n_records, "runs": 0}
@@ -571,8 +587,8 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
                                     (budget or 8 << 20) // (len(runs) + 1)))
         readers = [BgzfReader(rp, span_bytes=run_span) for rp in runs]
         try:
-            with BamWriter(out_path, reader.header, compresslevel,
-                           span_bytes=w_span) as w:
+            with BamWriter(out_path, _header_with_so_coordinate(reader.header),
+                           compresslevel, span_bytes=w_span) as w:
                 for raw in heapq.merge(*(_iter_raw_records(rf) for rf in readers),
                                        key=_raw_sort_key):
                     w.write_raw(raw)

@@ -435,7 +435,9 @@ class _ContigAcc:
 def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
                         motifs_filter,
                         owned_regions: dict[str, list] | None = None,
-                        read_shard: tuple[int, int] | None = None
+                        read_shard: tuple[int, int] | None = None,
+                        flush_cb=None,
+                        accs: dict[str, "_ContigAcc"] | None = None
                         ) -> dict[str, _ContigAcc]:
     """One pass over the BAM: filters + MM/ML decode + aligned-pairs walk
     (parity with _readmods_to_bed_of_one_region's per-read block, lines 488-540).
@@ -449,12 +451,23 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
     process owns by stable qname hash (collective --dist_coordinator mode:
     every process sees every site partially; the psum merge reconstitutes the
     global per-site table).
+
+    flush_cb: optional streaming hook for COORDINATE-SORTED inputs —
+    ``flush_cb(contig, frontier_pos)`` fires as the scan advances (and
+    ``flush_cb(contig, None)`` when a contig finishes). Later records start at
+    or after the frontier, so every site below it is final: the callback may
+    convert completed genome chunks to rows and POP them from ``accs``,
+    bounding read-level memory to the active window instead of the whole
+    genome (the reference bounds memory by BAI-fetching 500kb regions instead,
+    call_mods_freq_bam.py:597-614). Sort order is verified while scanning;
+    a violation raises (flushed chunks could otherwise silently lose calls).
     """
     if read_shard is not None:
         from ..parallel.distributed import owns_read
     modbase = "C" if cfg.modtype == "5mC" else "-"
     modification = "m"
-    accs: dict[str, _ContigAcc] = {}
+    if accs is None:
+        accs = {}
     refsites: dict[str, tuple[set, set]] = {}
     reader = BamReader(cfg.input_bam)
     refnames = [r[0] for r in reader.header.references]
@@ -469,10 +482,30 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
             refsites[contig] = (fwd_sites, rev_sites)
 
     cnt_all = cnt_used = 0
+    cur_rid = -1
+    last_pos = -1
     for rec in reader:
         if rec.ref_id < 0:
             continue
         contig = refnames[rec.ref_id]
+        if flush_cb is not None:
+            if rec.ref_id != cur_rid:
+                if rec.ref_id < cur_rid:
+                    raise ValueError(
+                        "input BAM is not coordinate-sorted (contig {} after "
+                        "{}) though its header claims SO:coordinate".format(
+                            contig, refnames[cur_rid]))
+                if cur_rid >= 0:
+                    flush_cb(refnames[cur_rid], None)
+                cur_rid = rec.ref_id
+                last_pos = -1
+            elif rec.pos < last_pos:
+                raise ValueError(
+                    "input BAM is not coordinate-sorted ({}:{} after {}) "
+                    "though its header claims SO:coordinate".format(
+                        contig, rec.pos, last_pos))
+            last_pos = rec.pos
+            flush_cb(contig, rec.pos)
         if contig not in dnacontigs:
             continue
         cnt_all += 1
@@ -553,6 +586,32 @@ def _chunk_site_tables(accs: dict, sorted_acc: dict, ref_name: str,
     rs, re_ = np.searchsorted(rev_pos, [ref_start, ref_end])
     refposinfo = {int(p): acc.fwd[int(p)] for p in fwd_pos[fs:fe]}
     refposinfo_rev = {int(p): acc.rev[int(p)] for p in rev_pos[rs:re_]}
+    if combine:
+        for rp, vals in refposinfo_rev.items():
+            if rp == 0:
+                continue
+            base = refposinfo.get(rp - 1)
+            refposinfo[rp - 1] = ((list(base) + list(vals))
+                                  if base is not None else list(vals))
+        refposinfo_rev = {}
+    return refposinfo, refposinfo_rev
+
+
+def _pop_chunk_tables(accs: dict, ref_name: str, ref_start: int, ref_end: int,
+                      combine: bool):
+    """Streaming-mode equivalent of _chunk_site_tables: builds the chunk's
+    (fwd, rev) tables AND pops the entries from the live accumulator, freeing
+    the flushed window. Iterates only the active-window keys (flushed keys are
+    gone), so the total cost over all chunks is O(total sites). Table contents
+    and insertion order match _chunk_site_tables exactly (fwd ascending, then
+    rev merged ascending)."""
+    acc = accs.get(ref_name)
+    if acc is None:
+        return {}, {}
+    fwd_keys = sorted(p for p in acc.fwd if ref_start <= p < ref_end)
+    rev_keys = sorted(p for p in acc.rev if ref_start <= p < ref_end)
+    refposinfo = {p: acc.fwd.pop(p) for p in fwd_keys}
+    refposinfo_rev = {p: acc.rev.pop(p) for p in rev_keys}
     if combine:
         for rp, vals in refposinfo_rev.items():
             if rp == 0:
@@ -721,9 +780,6 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
             owned_regions.setdefault(contig, []).append((s, e))
         LOGGER.info("process %d/%d owns %d genome chunks", cfg.process_id,
                     cfg.num_processes, len(ref_chunks))
-    accs = scan_bam_accumulate(cfg, dnacontigs, set(motifs) if motifs_filter else None,
-                               owned_regions, read_shard)
-
     # motif filter window params (lines 464-471)
     fwd_s = fwd_e = rev_s = rev_e = None
     mf_set = None
@@ -739,9 +795,10 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     bed_hp1: list = []
     bed_hp2: list = []
 
-    def emit_rows(rows, ref_name, strand_char):
+    def emit_rows(rows, ref_name, strand_char, sinks=None):
         """Append (cov, met, freq) rows, applying the reference-motif filter
         (call_mods_freq_bam.py:565-585)."""
+        sink_all, sink_hp1, sink_hp2 = sinks or (bed_all, bed_hp1, bed_hp2)
         for refpos, total_info, hp1_info, hp2_info in rows:
             if mf_set is not None:
                 if strand_char == "+":
@@ -751,36 +808,99 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
                         dnacontigs[ref_name][(refpos + rev_s):(refpos + rev_e)])
                 if motif_seq not in mf_set:
                     continue
-            for info, bed in ((total_info, bed_all), (hp1_info, bed_hp1),
-                              (hp2_info, bed_hp2)):
+            for info, bed in ((total_info, sink_all), (hp1_info, sink_hp1),
+                              (hp2_info, sink_hp2)):
                 if info is not None:
                     bed.append((ref_name, refpos, strand_char,
                                 info[0], info[1], info[2]))
 
-    # sort each contig's site positions ONCE; chunks then slice by searchsorted
-    # (the per-chunk dict-comprehension alternative rescans every contig site per
-    # chunk: O(sites x chunks), quadratic at genome scale)
-    sorted_acc: dict[str, tuple] = {}
-    for contig, acc in accs.items():
-        fwd_pos = np.fromiter(acc.fwd.keys(), np.int64, len(acc.fwd))
-        fwd_pos.sort()
-        rev_pos = np.fromiter(acc.rev.keys(), np.int64, len(acc.rev))
-        rev_pos.sort()
-        sorted_acc[contig] = (fwd_pos, rev_pos)
     combine = cfg.motifs == "CG" and not cfg.no_comb
-    if dist:
-        _dist_emit_chunks(cfg, accs, sorted_acc, ref_chunks, combine, aggr,
-                          emit_rows)
-    else:
-        for ref_name, ref_start, ref_end in ref_chunks:
-            refposinfo, refposinfo_rev = _chunk_site_tables(
-                accs, sorted_acc, ref_name, ref_start, ref_end, combine)
+    # streaming: for coordinate-sorted inputs (call_mods' sorted output, pbmm2
+    # --sort, samtools sort — header SO:coordinate), completed genome chunks
+    # convert to rows DURING the scan and their per-read (prob, hap) lists are
+    # freed, so read-level memory is O(active window), not O(genome x coverage)
+    # — the scalability equivalent of the reference's per-region BAI fetching.
+    # Rows are assembled in ref_chunks order afterwards, so outputs are
+    # bit-identical to the full-scan path. dist mode keeps the full scan (all
+    # ranks must issue one identical psum sequence after the pass).
+    streaming = False
+    if not dist:
+        hdr_reader = BamReader(cfg.input_bam)
+        streaming = "SO:coordinate" in hdr_reader.header.text
+        hdr_reader.close()
+    if streaming:
+        from collections import deque as _deque
+
+        chunks_by_contig: dict[str, _deque] = {}
+        for idx, (c, s, e) in enumerate(ref_chunks):
+            chunks_by_contig.setdefault(c, _deque()).append((s, e, idx))
+        chunk_rows: dict[int, tuple] = {}
+        live_accs: dict[str, _ContigAcc] = {}
+
+        def process_chunk(contig, s, e, idx):
+            refposinfo, refposinfo_rev = _pop_chunk_tables(
+                live_accs, contig, s, e, combine)
+            sinks = ([], [], [])
             if refposinfo:
                 emit_rows(call_modfreq_of_one_region(refposinfo, cfg, aggr),
-                          ref_name, "+")
+                          contig, "+", sinks)
             if refposinfo_rev:
                 emit_rows(call_modfreq_of_one_region(refposinfo_rev, cfg, aggr),
-                          ref_name, "-")
+                          contig, "-", sinks)
+            chunk_rows[idx] = sinks
+
+        def flush_cb(contig, frontier):
+            dq = chunks_by_contig.get(contig)
+            if not dq:
+                return
+            # +2: CG-straddle boundary fix (+1) and rev->fwd combining (+1) can
+            # each reach one base past the chunk end
+            while dq and (frontier is None or dq[0][1] + 2 <= frontier):
+                s, e, idx = dq.popleft()
+                process_chunk(contig, s, e, idx)
+
+        scan_bam_accumulate(cfg, dnacontigs,
+                            set(motifs) if motifs_filter else None,
+                            owned_regions, read_shard, flush_cb, live_accs)
+        for contig, dq in chunks_by_contig.items():
+            while dq:  # tail chunks + contigs with no (owned) reads
+                s, e, idx = dq.popleft()
+                process_chunk(contig, s, e, idx)
+        for idx in range(len(ref_chunks)):
+            sinks = chunk_rows.get(idx)
+            if sinks:
+                bed_all.extend(sinks[0])
+                bed_hp1.extend(sinks[1])
+                bed_hp2.extend(sinks[2])
+    else:
+        accs = scan_bam_accumulate(cfg, dnacontigs,
+                                   set(motifs) if motifs_filter else None,
+                                   owned_regions, read_shard)
+        # sort each contig's site positions ONCE; chunks then slice by
+        # searchsorted (the per-chunk dict-comprehension alternative rescans
+        # every contig site per chunk: O(sites x chunks), quadratic at genome
+        # scale)
+        sorted_acc: dict[str, tuple] = {}
+        for contig, acc in accs.items():
+            fwd_pos = np.fromiter(acc.fwd.keys(), np.int64, len(acc.fwd))
+            fwd_pos.sort()
+            rev_pos = np.fromiter(acc.rev.keys(), np.int64, len(acc.rev))
+            rev_pos.sort()
+            sorted_acc[contig] = (fwd_pos, rev_pos)
+        if dist:
+            _dist_emit_chunks(cfg, accs, sorted_acc, ref_chunks, combine, aggr,
+                              emit_rows)
+        else:
+            for ref_name, ref_start, ref_end in ref_chunks:
+                refposinfo, refposinfo_rev = _chunk_site_tables(
+                    accs, sorted_acc, ref_name, ref_start, ref_end, combine)
+                if refposinfo:
+                    emit_rows(call_modfreq_of_one_region(refposinfo, cfg, aggr),
+                              ref_name, "+")
+                if refposinfo_rev:
+                    emit_rows(call_modfreq_of_one_region(refposinfo_rev, cfg,
+                                                         aggr),
+                              ref_name, "-")
 
     if dist and not is_main:
         LOGGER.info("[main]call_freq_bam rank %d done (rank 0 writes) in %.1f "

@@ -261,3 +261,82 @@ def test_multiprocess_sharding_reconstructs_single_run(modbam, tmp_path):
     assert sorted(merged, key=key) == sorted(single, key=key)
     # disjoint ownership: no site emitted twice
     assert len(merged) == len({(r[0], r[1], r[2]) for r in merged})
+
+
+def _strip_so(in_bam, out_bam):
+    """Copy a BAM with the @HD SO: field removed (forces the full-scan path)."""
+    from ccsmeth_tpu.bamio.bam import BamHeader
+
+    rd = BamReader(in_bam)
+    recs = list(rd)
+    text = "\n".join("\t".join(f for f in ln.split("\t")
+                               if not f.startswith("SO:"))
+                     for ln in rd.header.text.splitlines())
+    with BamWriter(out_bam, BamHeader(text + "\n", rd.header.references)) as w:
+        for rec in recs:
+            w.write(rec)
+
+
+def test_streaming_equals_fullscan(modbam, tmp_path):
+    """SO:coordinate inputs flush chunks during the scan (bounded read-level
+    memory); outputs must be bit-identical to the full-scan path on the same
+    records (header stripped of SO so the code cannot stream)."""
+    assert "SO:coordinate" in BamReader(modbam.bam).header.text
+    nosort = str(tmp_path / "noso.bam")
+    _strip_so(modbam.bam, nosort)
+    outs_stream = _run_ours(modbam, str(tmp_path / "st"), chunk_len=500)
+    cfg = FreqBamConfig(input_bam=nosort, ref=modbam.fasta,
+                        output=str(tmp_path / "fs"), chunk_len=500)
+    outs_full = call_mods_frequency_from_bamfile(cfg)
+    assert len(outs_stream) == len(outs_full) > 0
+    for ps, pf in zip(sorted(outs_stream), sorted(outs_full)):
+        assert open(ps).read() == open(pf).read()
+
+
+def test_streaming_drains_accumulator(modbam):
+    """The streaming scan must actually free flushed windows: after the pass
+    (with every chunk flushed) the live accumulator holds zero sites."""
+    from ccsmeth_tpu.pipeline.call_freq_bam import (
+        get_reference_chunks, scan_bam_accumulate, _pop_chunk_tables)
+    from ccsmeth_tpu.utils.fasta import DNAReference
+
+    cfg = FreqBamConfig(input_bam=modbam.bam, ref=modbam.fasta, output="x",
+                        chunk_len=500)
+    dnacontigs = DNAReference(modbam.fasta).getcontigs()
+    chunks = get_reference_chunks(dnacontigs, None, 500, "CG")
+    from collections import deque
+
+    dq = deque(chunks)
+    live: dict = {}
+    flushed = []
+
+    def flush_cb(contig, frontier):
+        while dq and (frontier is None or dq[0][2] + 2 <= frontier):
+            c, s, e = dq.popleft()
+            flushed.append(_pop_chunk_tables(live, c, s, e, True))
+
+    scan_bam_accumulate(cfg, dnacontigs, None, None, None, flush_cb, live)
+    while dq:
+        c, s, e = dq.popleft()
+        flushed.append(_pop_chunk_tables(live, c, s, e, True))
+    n_left = sum(len(a.fwd) + len(a.rev) for a in live.values())
+    assert n_left == 0, "accumulator holds {} undrained sites".format(n_left)
+    assert sum(len(f) + len(r) for f, r in flushed) > 10
+    # streaming flushed sites incrementally, not all at the end
+    assert sum(1 for f, r in flushed if f or r) >= 3
+
+
+def test_streaming_rejects_lying_sort_header(modbam, tmp_path):
+    """A header claiming SO:coordinate over unsorted records must raise, not
+    silently drop calls from already-flushed chunks."""
+    rd = BamReader(modbam.bam)
+    recs = list(rd)
+    shuffled = str(tmp_path / "lying.bam")
+    rng = np.random.RandomState(5)
+    with BamWriter(shuffled, rd.header) as w:  # header still says coordinate
+        for i in rng.permutation(len(recs)):
+            w.write(recs[i])
+    cfg = FreqBamConfig(input_bam=shuffled, ref=modbam.fasta,
+                        output=str(tmp_path / "ly"), chunk_len=500)
+    with pytest.raises(ValueError, match="not coordinate-sorted"):
+        call_mods_frequency_from_bamfile(cfg)
