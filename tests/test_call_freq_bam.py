@@ -340,3 +340,57 @@ def test_streaming_rejects_lying_sort_header(modbam, tmp_path):
                         output=str(tmp_path / "ly"), chunk_len=500)
     with pytest.raises(ValueError, match="not coordinate-sorted"):
         call_mods_frequency_from_bamfile(cfg)
+
+
+def test_streaming_contig_order_independent(tmp_path):
+    """Streaming flushes in BAM (header) contig order but assembles rows in
+    ref_chunks (FASTA) order — outputs must be identical to the full-scan path
+    even when the two orders disagree."""
+    from ccsmeth_tpu.bamio.bam import BamHeader
+    from tests.synth import make_synth_bam, write_fasta
+    from tests.test_call_mods_e2e import _make_ckpt
+
+    tmp = tmp_path
+    bam_a = str(tmp / "a.bam")
+    seq_a, _ = make_synth_bam(bam_a, n_reads=12, read_len=300, ref_len=1500,
+                              seed=5)
+    bam_b = str(tmp / "b.bam")
+    seq_b, _ = make_synth_bam(bam_b, n_reads=12, read_len=300, ref_len=1500,
+                              seed=6)
+    # two contigs; BAM header order (chrB, chrA) != FASTA order (chrA, chrB)
+    fasta = str(tmp / "ref.fa")
+    write_fasta(fasta, {"chrA": seq_a, "chrB": seq_b})
+    hdr = BamHeader("@SQ\tSN:chrB\tLN:1500\n@SQ\tSN:chrA\tLN:1500\n",
+                    [("chrB", 1500), ("chrA", 1500)])
+    recs = []
+    for path, rid in ((bam_b, 0), (bam_a, 1)):  # BAM coordinate order: B then A
+        for rec in BamReader(path):
+            rec.ref_id = rid
+            recs.append(rec)
+    merged = str(tmp / "two.bam")
+    with BamWriter(merged, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    _tm, ckpt = _make_ckpt(tmp, seed=17)
+    cfg = CallModsConfig(model_file=ckpt, mode="align", ref=fasta,
+                         batch_size=128)
+    modbam_path = call_mods_bam(cfg, merged, str(tmp / "mods"))
+    assert "SO:coordinate" in BamReader(modbam_path).header.text
+    nosort = str(tmp / "noso.bam")
+    _strip_so(modbam_path, nosort)
+    fc = FreqBamConfig(input_bam=modbam_path, ref=fasta,
+                       output=str(tmp / "st"), chunk_len=400)
+    outs_stream = call_mods_frequency_from_bamfile(fc)
+    fc2 = FreqBamConfig(input_bam=nosort, ref=fasta,
+                        output=str(tmp / "fs"), chunk_len=400)
+    outs_full = call_mods_frequency_from_bamfile(fc2)
+    assert len(outs_stream) == len(outs_full) > 0
+    rows = 0
+    for ps, pf in zip(sorted(outs_stream), sorted(outs_full)):
+        a = open(ps).read()
+        assert a == open(pf).read()
+        rows += len(a.splitlines())
+    assert rows > 10
+    # both contigs present
+    chroms = {ln.split("\t")[0] for p in outs_stream for ln in open(p)}
+    assert chroms == {"chrA", "chrB"}
