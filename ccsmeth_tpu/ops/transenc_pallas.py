@@ -52,7 +52,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PACK = 6  # samples per block-diagonal attention pack: 6*21 = 126 <= 128
+# samples per block-diagonal attention pack. 12*21 = 252 rows: 2x the exact
+# attention MACs of pack=6 (126<=128) but half as many, MXU-friendlier dots —
+# measured fastest on-chip (r3 sweep, B=8064 bf16: packed@12x4 389k samples/s
+# vs packed@6x8 340k, stackhead@6x8 355k, wsplit@6x8 362k, stackhead@12x4
+# 383k; headrows/6x16 failed remote compile). ops_experiments/
+# transenc_impl_sweep.py reproduces the sweep.
+PACK = 12
+NPACKS = 4  # packs per grid tile (tile = PACK*NPACKS = 48 samples, as before)
 ATTN_IMPL = "packed"  # fastest measured formulation (see module docstring)
 
 
@@ -286,7 +293,7 @@ def _encoder_call(x, stacked, L, NH, npacks, compute_dtype, interpret,
 
 
 def encoder_pooled_pallas(params: dict, cfg, x, compute_dtype=jnp.float32,
-                          npacks: int = 8, interpret: bool | None = None,
+                          npacks: int = NPACKS, interpret: bool | None = None,
                           attn_impl: str = ATTN_IMPL, pack: int = PACK):
     """Fused encoder + mean pool: x (B, L, d_model) -> (B, d_model).
 

@@ -15,6 +15,7 @@ run() { local name=$1 t=$2; shift 2
 }
 run dirbatch 9000 python ops_experiments/bigru_dirbatch_sweep.py 16384 gru
 run trainm   5400 python ops_experiments/trainm_onchip.py 65536 pallas bf16 2
+run trainm4k 5400 python ops_experiments/trainm_onchip.py 65536 pallas bf16 2 4096
 run e2e_a    3600 python bench.py e2e 8192
 run e2e_b    1200 python bench.py e2e 8192
 run e2e_c    1200 python bench.py e2e 8192
