@@ -184,7 +184,8 @@ def bench_numerics(batch: int = 2048) -> dict:
 
 
 def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
-                     precision: str = "bf16") -> dict:
+                     precision: str = "bf16", kinetics_quant: str = "none"
+                     ) -> dict:
     """Device-resident streaming throughput through the production
     dispatch/collect pipeline (pipeline/call_mods.py inner loop, VERDICT r1 #6):
     pre-extracted padded batches are dispatched `depth` ahead of collection, so
@@ -202,7 +203,7 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     params = init_attrnn(1234, cfg)
     tdt = np.dtype(ml_dtypes.bfloat16) if precision == "bf16" else np.float32
     predict = make_predict_fn(_apply_for(cfg, "pallas", precision), params, cfg,
-                              transfer_dtype=tdt)
+                              transfer_dtype=tdt, kinetics_quant=kinetics_quant)
     fuse = 8  # matches CallModsConfig.dispatch_fuse (the shipped default)
     # n_batches distinct host-side batches (realistic: every dispatch transfers)
     host_batches = [_example_feats(batch, seed=s) for s in range(min(n_batches, 8))]
@@ -415,7 +416,9 @@ def main():
         return
     if mode == "e2e":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-        print(json.dumps({"e2e": bench_e2e_stream(batch=batch)}))
+        kq = sys.argv[3] if len(sys.argv) > 3 else "none"
+        print(json.dumps({"e2e": bench_e2e_stream(batch=batch,
+                                                  kinetics_quant=kq)}))
         return
 
     from ccsmeth_tpu.models import AttRNNConfig

@@ -137,6 +137,7 @@ def main_call_mods(args):
         holeids_ne=args.holeids_ne, gzip_out=args.gzip,
         rnn_backend=args.rnn_backend, precision=args.precision,
         dispatch_fuse=args.dispatch_fuse, sort_mem_mb=args.sort_mem_mb,
+        transfer_quant=args.transfer_quant,
         profile_dir=args.profile_dir, h0_mode=args.h0_mode, tseed=args.tseed,
         num_processes=args.num_processes, process_id=args.process_id)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
@@ -341,6 +342,11 @@ def get_parser() -> argparse.ArgumentParser:
                     help="fuse this many fixed-shape batches into one device "
                          "call (one transfer+dispatch+fetch RPC per group; "
                          "1 disables), default 8")
+    gc.add_argument("--transfer_quant", type=str, default="none",
+                    choices=["none", "int8"],
+                    help="quantize IPD/PW means to int8 for host->device "
+                         "transfer (zscore/mad norms only; probs may drift a "
+                         "few ML bytes) — for bandwidth-constrained links")
     gc.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler device trace here (xprof viewable)")
     gc.add_argument("--h0_mode", type=str, default="zeros",

@@ -33,7 +33,8 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
 
 
 def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
-                    transfer_dtype=np.float32, dispatch_workers: int = 2):
+                    transfer_dtype=np.float32, dispatch_workers: int = 2,
+                    kinetics_quant: str = "none"):
     """Build a jitted data-parallel predict step: feats dict -> softmax probs (B, C).
 
     Works on one device (trivial mesh) or many; batch dim must divide the mesh size
@@ -61,6 +62,19 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     need_stds = getattr(cfg, "is_stds", False)
     need_sn = getattr(cfg, "is_sn", False)
     need_map = getattr(cfg, "is_map", False)
+    # optional int8 kinetics transfer: standardized (zscore/mad) IPD/PW means
+    # quantize to round(x*16) clipped to int8 (±7.94 range, 1/16 granularity)
+    # and dequantize on device — 218 -> 134 bytes/site, for wire-bandwidth-
+    # constrained host<->device links. Opt-in: probs may drift a few ML bytes.
+    if kinetics_quant not in ("none", "int8"):
+        raise ValueError("kinetics_quant must be 'none' or 'int8'")
+    quant = kinetics_quant == "int8"
+    QSCALE = 16.0
+    kin_dtype = np.int8 if quant else transfer_dtype
+
+    def _dequant(v):
+        return v.astype(jnp.float32) * (1.0 / QSCALE) if quant else \
+            v.astype(jnp.float32)
 
     def _predict_impl(compact):
         B = compact["kmer"].shape[0]
@@ -75,8 +89,8 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
             feats["kmer" + s] = compact["kmer" + s].astype(jnp.float32)
             feats["kpass" + s] = jnp.broadcast_to(
                 compact["kpass" + s][:, None].astype(jnp.float32), (B, L))
-            feats["ipd_means" + s] = compact["ipd_means" + s].astype(jnp.float32)
-            feats["pw_means" + s] = compact["pw_means" + s].astype(jnp.float32)
+            feats["ipd_means" + s] = _dequant(compact["ipd_means" + s])
+            feats["pw_means" + s] = _dequant(compact["pw_means" + s])
             feats["ipd_stds" + s] = (compact["ipd_stds" + s].astype(jnp.float32)
                                      if need_stds else jnp.zeros((B, L)))
             feats["pw_stds" + s] = (compact["pw_stds" + s].astype(jnp.float32)
@@ -99,13 +113,18 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
             return (np.zeros(shape, np.float32) if v is None
                     else np.asarray(v, np.float32))
 
+        def kin(arr):
+            if quant:
+                return np.clip(np.rint(np.asarray(arr, np.float32) * QSCALE),
+                               -128, 127).astype(np.int8)
+            return np.asarray(arr, transfer_dtype)
+
         for s in ("", "2"):
             out["kmer" + s] = np.asarray(feats["kmer" + s], np.int8)
             kp = np.asarray(feats["kpass" + s])
             out["kpass" + s] = (kp[:, 0] if kp.ndim == 2 else kp).astype(np.float32)
-            out["ipd_means" + s] = np.asarray(feats["ipd_means" + s],
-                                              transfer_dtype)
-            out["pw_means" + s] = np.asarray(feats["pw_means" + s], transfer_dtype)
+            out["ipd_means" + s] = kin(feats["ipd_means" + s])
+            out["pw_means" + s] = kin(feats["pw_means" + s])
             if need_stds:
                 out["ipd_stds" + s] = opt("ipd_stds" + s, (B, L))
                 out["pw_stds" + s] = opt("pw_stds" + s, (B, L))
@@ -127,7 +146,7 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     # (B, row_bytes) uint8 put that still shards on 'data'; the jit unpacks
     # with static column slices + bitcasts (exact, zero-copy on device).
     _fields = [("kmer", np.int8, L), ("kpass", np.float32, 1),
-               ("ipd_means", transfer_dtype, L), ("pw_means", transfer_dtype, L)]
+               ("ipd_means", kin_dtype, L), ("pw_means", kin_dtype, L)]
     if need_stds:
         _fields += [("ipd_stds", np.float32, L), ("pw_stds", np.float32, L)]
     if need_sn:

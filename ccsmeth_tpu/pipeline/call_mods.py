@@ -94,6 +94,10 @@ class CallModsConfig:
     # cost on remote-attached devices; parallel/mesh.py dispatch_many). 1
     # disables fusing (per-batch async dispatch, the round-2 behavior).
     dispatch_fuse: int = 8
+    # 'int8': quantize standardized IPD/PW means to int8 for host->device
+    # transfer (218 -> 134 bytes/site; zscore/mad norms only; probs may drift
+    # a few ML bytes) — for wire-bandwidth-constrained links
+    transfer_quant: str = "none"
     # share-nothing multi-process scale-out: stable hash of the read name picks
     # exactly one owner per read (parallel/distributed.owns_read); each process
     # writes its own output prefix and the shard modbams/TSVs union to the full
@@ -353,6 +357,9 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     """BAM/SAM -> [prefix].modbam.bam. Returns the output path."""
     t_start = time.time()
     out_modbam = output_prefix + ".modbam.bam"
+    if cfg.transfer_quant == "int8" and cfg.norm not in ("zscore", "mad"):
+        raise ValueError("--transfer_quant int8 requires a standardized "
+                         "normalization (--norm zscore or mad)")
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
     import ml_dtypes
@@ -360,7 +367,8 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     transfer_dtype = (np.dtype(ml_dtypes.bfloat16) if cfg.precision == "bf16"
                       else np.float32)
     predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision),
-                              params, model_cfg, transfer_dtype=transfer_dtype)
+                              params, model_cfg, transfer_dtype=transfer_dtype,
+                              kinetics_quant=cfg.transfer_quant)
     h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev

@@ -80,6 +80,38 @@ def test_dispatch_many_with_h0():
         np.testing.assert_array_equal(arr[i], ref[i])
 
 
+def test_int8_kinetics_transfer_row_shrink_and_drift():
+    """Opt-in int8 kinetics transfer (mesh.py kinetics_quant): rows shrink
+    218 -> 134 bytes/site and prob drift vs the fp32 transfer stays within a
+    few ML bytes on standardized (z-score-scale) inputs."""
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(1234, cfg)
+    pf = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
+                         transfer_dtype=np.dtype(ml_dtypes.bfloat16))
+    pq = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
+                         kinetics_quant="int8")
+    assert pf.row_bytes == 218 and pq.row_bytes == 134  # production bf16 vs q8
+    feats = _feats(256)
+    ref = np.asarray(pf(feats))
+    got = np.asarray(pq(feats))
+    drift = float(np.max(np.abs(got - ref)))
+    assert drift < 4.0 / 256, "int8 transfer drift {} > 4 ML bytes".format(drift)
+    # fused megabatch path carries the quantized rows identically
+    arr = np.asarray(pq.collect(pq.dispatch_many([feats, feats])))
+    np.testing.assert_array_equal(arr[0], got)
+    pf.close()
+    pq.close()
+
+
+def test_int8_transfer_requires_standardized_norm(tmp_path):
+    from ccsmeth_tpu.pipeline.call_mods import CallModsConfig, call_mods_bam
+
+    cfg = CallModsConfig(model_file="x.npz", norm="min-max",
+                         transfer_quant="int8")
+    with pytest.raises(ValueError, match="standardized"):
+        call_mods_bam(cfg, "in.bam", str(tmp_path / "o"))
+
+
 def test_fused_dispatcher_partial_group_and_order():
     """_FusedDispatcher pads partial groups (single executable) and resolves
     tokens to the right per-batch results in any collect order."""
