@@ -184,7 +184,7 @@ def bench_numerics(batch: int = 2048) -> dict:
 
 
 def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
-                     precision: str = "bf16", kinetics_quant: str = "none"
+                     precision: str = "bf16", kinetics_quant: str = "auto"
                      ) -> dict:
     """Device-resident streaming throughput through the production
     dispatch/collect pipeline (pipeline/call_mods.py inner loop, VERDICT r1 #6):
@@ -202,6 +202,8 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     cfg = AttRNNConfig(dropout_rate=0.0)
     params = init_attrnn(1234, cfg)
     tdt = np.dtype(ml_dtypes.bfloat16) if precision == "bf16" else np.float32
+    if kinetics_quant == "auto":  # mirrors CallModsConfig.resolved_transfer_quant
+        kinetics_quant = "int8" if precision == "bf16" else "none"
     predict = make_predict_fn(_apply_for(cfg, "pallas", precision), params, cfg,
                               transfer_dtype=tdt, kinetics_quant=kinetics_quant)
     fuse = 8  # matches CallModsConfig.dispatch_fuse (the shipped default)
@@ -249,7 +251,7 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     # attribution of what each fix buys
     out = {"sites_per_s": round(stream_mega(), 1), "batch": batch,
            "depth": depth, "n_batches": n_batches, "fuse": fuse,
-           "row_bytes": predict.row_bytes,
+           "row_bytes": predict.row_bytes, "kinetics_quant": kinetics_quant,
            "async1_sites_per_s": round(stream(predict.dispatch_async), 1),
            "serial_sites_per_s": round(stream(predict.dispatch), 1),
            "unpacked_sites_per_s": round(stream(predict.dispatch_unpacked), 1)}

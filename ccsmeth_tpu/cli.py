@@ -342,11 +342,12 @@ def get_parser() -> argparse.ArgumentParser:
                     help="fuse this many fixed-shape batches into one device "
                          "call (one transfer+dispatch+fetch RPC per group; "
                          "1 disables), default 8")
-    gc.add_argument("--transfer_quant", type=str, default="none",
-                    choices=["none", "int8"],
-                    help="quantize IPD/PW means to int8 for host->device "
-                         "transfer (zscore/mad norms only; probs may drift a "
-                         "few ML bytes) — for bandwidth-constrained links")
+    gc.add_argument("--transfer_quant", type=str, default="auto",
+                    choices=["auto", "none", "int8"],
+                    help="int8-quantize IPD/PW means for host->device transfer "
+                         "(218->134 B/site; zscore/mad norms; measured prob "
+                         "drift 0.07 ML bytes). auto = int8 on the bf16 fast "
+                         "path, none on the fp32 parity path")
     gc.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler device trace here (xprof viewable)")
     gc.add_argument("--h0_mode", type=str, default="zeros",

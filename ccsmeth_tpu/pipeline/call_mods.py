@@ -95,9 +95,18 @@ class CallModsConfig:
     # disables fusing (per-batch async dispatch, the round-2 behavior).
     dispatch_fuse: int = 8
     # 'int8': quantize standardized IPD/PW means to int8 for host->device
-    # transfer (218 -> 134 bytes/site; zscore/mad norms only; probs may drift
-    # a few ML bytes) — for wire-bandwidth-constrained links
-    transfer_quant: str = "none"
+    # transfer (218 -> 134 bytes/site; zscore/mad norms only; measured prob
+    # drift 0.07 ML bytes) — the lever for wire-bandwidth-constrained links.
+    # 'auto' (default): int8 on the bf16 fast path when the norm is
+    # standardized (inside that path's documented ~2-ML-byte envelope);
+    # none on the fp32 parity path, which stays exact.
+    transfer_quant: str = "auto"
+
+    def resolved_transfer_quant(self) -> str:
+        if self.transfer_quant == "auto":
+            return ("int8" if self.precision == "bf16"
+                    and self.norm in ("zscore", "mad") else "none")
+        return self.transfer_quant
     # share-nothing multi-process scale-out: stable hash of the read name picks
     # exactly one owner per read (parallel/distributed.owns_read); each process
     # writes its own output prefix and the shard modbams/TSVs union to the full
@@ -368,7 +377,7 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                       else np.float32)
     predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision),
                               params, model_cfg, transfer_dtype=transfer_dtype,
-                              kinetics_quant=cfg.transfer_quant)
+                              kinetics_quant=cfg.resolved_transfer_quant())
     h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
@@ -712,7 +721,12 @@ def call_mods_txt(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
     out_path = output_prefix + ".per_readsite.tsv"
     model_cfg = cfg.model_config()
     params = load_model_params(cfg.model_file, model_cfg)
-    predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg)
+    # TSV input was extracted elsewhere with an unknown normalization, so
+    # 'auto' resolves to no quantization here; explicit --transfer_quant int8
+    # is honored (the caller knows their features are standardized)
+    tq = "none" if cfg.transfer_quant == "auto" else cfg.transfer_quant
+    predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision), params, model_cfg,
+                              kinetics_quant=tq)
     fuser = _FusedDispatcher(predict, cfg.dispatch_fuse)
     h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
