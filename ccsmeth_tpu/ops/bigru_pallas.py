@@ -196,7 +196,7 @@ def _fused_layer_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret
 
 
 def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype,
-                       dir_batched: bool = False):
+                       dir_batched: bool = False, n_chains: int = 1):
     """Build a whole-network kernel: all NL bidirectional layers over the full
     L-step sequence for one batch tile, entirely in VMEM.
 
@@ -211,6 +211,12 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype,
     dot + one gate block per timestep ((2, Bt, ·) tensors) instead of two
     interleaved sequential ones — half the serialized ops on the recurrent
     chain, same math.
+
+    n_chains=M splits the batch tile into M sub-tiles whose recurrences
+    interleave: 2*M independent dependency chains instead of 2, giving the
+    scheduler more MXU work to overlay the VPU gate math of other chains.
+    Same math (the recurrence never mixes batch rows); pair with
+    b_tile = M * 128 so each chain's recurrent dot keeps a full 128-row M dim.
     """
     n_gates = 4 if cell == "lstm" else 3
     G = n_gates * H
@@ -273,6 +279,9 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype,
             out_ref[...] = x.astype(out_ref.dtype)
             return
 
+        M = n_chains
+        bc = Bt // M  # rows per chain (sub-tile)
+
         for l in range(NL):
             wih, bih, whh, bhh = refs[4 * l : 4 * l + 4]
             C = x.shape[2]
@@ -285,28 +294,38 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype,
                     + bih[1].astype(jnp.float32)).reshape(L, Bt, G)
             bhh_f = bhh[0].astype(jnp.float32)
             bhh_b = bhh[1].astype(jnp.float32)
-            h_f = jnp.zeros((Bt, H), jnp.float32)
-            h_b = jnp.zeros((Bt, H), jnp.float32)
-            c_f = jnp.zeros((Bt, H), jnp.float32)
-            c_b = jnp.zeros((Bt, H), jnp.float32)
-            outs_f, outs_b = [], []
+            whh_f = whh[0].astype(compute_dtype)
+            whh_b = whh[1].astype(compute_dtype)
+            h_f = [jnp.zeros((bc, H), jnp.float32) for _ in range(M)]
+            h_b = [jnp.zeros((bc, H), jnp.float32) for _ in range(M)]
+            c_f = [jnp.zeros((bc, H), jnp.float32) for _ in range(M)]
+            c_b = [jnp.zeros((bc, H), jnp.float32) for _ in range(M)]
+            outs_f = [[] for _ in range(M)]
+            outs_b = [[] for _ in range(M)]
             for j in range(L):
-                hg_f = jnp.dot(h_f.astype(compute_dtype),
-                               whh[0].astype(compute_dtype),
-                               preferred_element_type=jnp.float32) + bhh_f
-                h_f, c_f = cell_fn(xg_f[j], hg_f, h_f, c_f)
-                hg_b = jnp.dot(h_b.astype(compute_dtype),
-                               whh[1].astype(compute_dtype),
-                               preferred_element_type=jnp.float32) + bhh_b
-                h_b, c_b = cell_fn(xg_b[L - 1 - j], hg_b, h_b, c_b)
-                outs_f.append(h_f)
-                outs_b.append(h_b)
-            hn_ref[2 * l] = h_f.astype(hn_ref.dtype)
-            hn_ref[2 * l + 1] = h_b.astype(hn_ref.dtype)
-            # outs_b[tau] is the state after consuming timestep L-1-tau; the
+                for m in range(M):
+                    sl = slice(m * bc, (m + 1) * bc)
+                    hg_f = jnp.dot(h_f[m].astype(compute_dtype), whh_f,
+                                   preferred_element_type=jnp.float32) + bhh_f
+                    h_f[m], c_f[m] = cell_fn(xg_f[j, sl], hg_f, h_f[m], c_f[m])
+                    hg_b = jnp.dot(h_b[m].astype(compute_dtype), whh_b,
+                                   preferred_element_type=jnp.float32) + bhh_b
+                    h_b[m], c_b[m] = cell_fn(xg_b[L - 1 - j, sl], hg_b,
+                                             h_b[m], c_b[m])
+                    outs_f[m].append(h_f[m])
+                    outs_b[m].append(h_b[m])
+
+            def cat_m(outs, t):
+                return (outs[0][t] if M == 1 else
+                        jnp.concatenate([outs[m][t] for m in range(M)], axis=0))
+
+            hn_ref[2 * l] = cat_m(outs_f, L - 1).astype(hn_ref.dtype)
+            hn_ref[2 * l + 1] = cat_m(outs_b, L - 1).astype(hn_ref.dtype)
+            # outs_b[m][tau] is the state after consuming timestep L-1-tau; the
             # time-t slice of the layer output pairs outs_f[t] with outs_b[L-1-t]
             x = jnp.stack([
-                jnp.concatenate([outs_f[t], outs_b[L - 1 - t]], axis=-1)
+                jnp.concatenate([cat_m(outs_f, t), cat_m(outs_b, L - 1 - t)],
+                                axis=-1)
                 for t in range(L)
             ]).astype(compute_dtype)
         out_ref[...] = x.astype(out_ref.dtype)
@@ -316,20 +335,24 @@ def _make_stack_kernel(NL: int, L: int, H: int, cell: str, compute_dtype,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_layers", "b_tile", "compute_dtype",
-                                    "interpret", "cell", "dir_batched"))
+                                    "interpret", "cell", "dir_batched",
+                                    "n_chains"))
 def _fused_stack_call(x_tm, flat_weights, n_layers, b_tile, compute_dtype,
-                      interpret, cell="gru", dir_batched=False):
+                      interpret, cell="gru", dir_batched=False, n_chains=1):
     """x_tm: (L, B, C) -> (out (L, B, 2H) out_dtype, h_n (2*NL, B, H) f32)."""
     L, B, C = x_tm.shape
     NL = n_layers
     n_gates = 4 if cell == "lstm" else 3
     H = flat_weights[2].shape[-1] // n_gates  # whh of layer 0
+    if b_tile % n_chains != 0:
+        raise ValueError("b_tile must be divisible by n_chains")
     if B % b_tile != 0:
         pad = b_tile - B % b_tile
         x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
     Bp = x_tm.shape[1]
     out_dtype = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
-    kernel = _make_stack_kernel(NL, L, H, cell, compute_dtype, dir_batched)
+    kernel = _make_stack_kernel(NL, L, H, cell, compute_dtype, dir_batched,
+                                n_chains)
     w_specs = []
     for li in range(NL):
         Cl = C if li == 0 else 2 * H
@@ -453,7 +476,8 @@ def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
                                b_tile: int | None = None,
                                interpret: bool | None = None,
                                cell: str = "gru",
-                               dir_batched: bool = False):
+                               dir_batched: bool = False,
+                               n_chains: int = 1):
     """Whole-network fused BiRNN: one pallas_call for all layers; same signature
     as birnn_apply_pallas — (outputs (B, L, 2H) f32, h_n (2*NL, B, H) torch
     layout). Zero h0/c0; inference path."""
@@ -462,9 +486,12 @@ def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
     if b_tile is None:
         # smaller tile than the per-layer kernel: the full (L, Bt, G) f32 gate
         # projections for both directions live in VMEM at once (128 measured
-        # fastest on v5e; 256 within 2%, 512 exceeds the VMEM budget)
-        b_tile = 128
-    b_tile = min(b_tile, max(8, x.shape[0]))
+        # fastest on v5e; 256 within 2%, 512 exceeds the VMEM budget).
+        # n_chains>1 keeps 128 rows per chain so each recurrent dot keeps a
+        # full-M MXU tile.
+        b_tile = 128 * n_chains
+    b_tile = min(b_tile, max(8 * n_chains, x.shape[0]))
+    b_tile -= b_tile % n_chains  # keep chains equal-sized (pad rows absorb)
     x_tm = jnp.transpose(x, (1, 0, 2))
     if compute_dtype == jnp.bfloat16:
         x_tm = x_tm.astype(jnp.bfloat16)
@@ -472,5 +499,6 @@ def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
     for ld in layers:
         flat.extend(_layer_weights(ld))
     out_tm, hn = _fused_stack_call(x_tm, tuple(flat), len(layers), b_tile,
-                                   compute_dtype, interpret, cell, dir_batched)
+                                   compute_dtype, interpret, cell, dir_batched,
+                                   n_chains)
     return jnp.transpose(out_tm, (1, 0, 2)).astype(jnp.float32), hn

@@ -33,6 +33,14 @@ fastest measured on v5e):
               accumulates. Same MACs, more smaller matmuls.
   headrows  — heads folded into the M/N dims: one dense (NH*PACK*L)^2 score
               dot per pack, 2x the exact MACs but MXU-sized tiles.
+  wqk       — query/key projections folded into per-head Wqk = Wq @ Wk^T
+              (D x D): scores become (x @ Wqk_h) @ x^T — dense K=D=256 dots
+              with NO per-head q/k lane slicing (the G = x @ [Wqk_0|..] dot
+              slices at 256-lane alignment, whole-tile extracts). The query
+              bias contributes only row-constant score terms (softmax-
+              invariant, dropped); the key bias's column term x_j . (Wk bq)
+              folds into G as a constant row-vector add (gbias). ~1.5x the
+              exact MACs of `packed` but every dot is MXU-dense.
 
 Semantics match models/transenc.py `_encoder` + mean pool (torch
 TransformerEncoder post-LN semantics, /root/reference/ccsmeth/models.py:
@@ -101,6 +109,38 @@ def _split_head_weights(stacked: dict, NH: int) -> dict:
     return out
 
 
+def _wqk_weights(stacked: dict, NH: int) -> dict:
+    """wqk weight layout: per-head folded query-key matrices.
+
+    wqk_cat (NL, D, NH*D): column block h is Wq_h @ Wk_h^T, so
+    G = x @ wqk_cat gives every head's score-side projection in one dense
+    dot; per-head extraction slices at 256-lane alignment.
+    gbias (NL, NH*D): block h is Wk_h @ bq_h — adding it to G makes
+    (G_h[i] + Wk_h bq_h) . x[j] == q_i . k_j up to terms constant in j,
+    which cancel under the row softmax (see module docstring).
+    wv/bv (NL, D, D)/(NL, D): the value projection, unchanged."""
+    NL, D, _ = stacked["wqkv"].shape
+    HD = D // NH
+    wq = stacked["wqkv"][:, :, 0 * D:1 * D]
+    wk = stacked["wqkv"][:, :, 1 * D:2 * D]
+    bq = stacked["bqkv"][:, 0 * D:1 * D]
+    blocks, gb = [], []
+    for h in range(NH):
+        wq_h = wq[:, :, h * HD:(h + 1) * HD]          # (NL, D, HD)
+        wk_h = wk[:, :, h * HD:(h + 1) * HD]
+        bq_h = bq[:, h * HD:(h + 1) * HD]             # (NL, HD)
+        blocks.append(jnp.einsum("lde,lfe->ldf", wq_h, wk_h))
+        gb.append(jnp.einsum("lde,le->ld", wk_h, bq_h))
+    out = {"wqk_cat": jnp.concatenate(blocks, axis=-1),
+           "gbias": jnp.concatenate(gb, axis=-1),
+           "wv": stacked["wqkv"][:, :, 2 * D:3 * D],
+           "bv": stacked["bqkv"][:, 2 * D:3 * D]}
+    for k in ("wo", "bo", "w1", "b1", "w2", "b2",
+              "ln1s", "ln1b", "ln2s", "ln2b"):
+        out[k] = stacked[k]
+    return out
+
+
 def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
                          npacks: int, compute_dtype, attn_impl: str,
                          pack: int):
@@ -160,6 +200,41 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
                                    preferred_element_type=jnp.float32)
                     ctx_sum = part if ctx_sum is None else ctx_sum + part
                 x = ffn_ln(x, ctx_sum, bo_ref[layer], ln1s_ref[layer],
+                           ln1b_ref[layer], w1_ref[layer], b1_ref[layer],
+                           w2_ref[layer], b2_ref[layer], ln2s_ref[layer],
+                           ln2b_ref[layer])
+            out_ref[...] = jnp.mean(x.reshape(npacks * pack, L, D), axis=1)
+
+        return kernel
+
+    if attn_impl == "wqk":
+        def kernel(x_ref, wqk_ref, gb_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                   w1_ref, b1_ref, w2_ref, b2_ref, ln1s_ref, ln1b_ref,
+                   ln2s_ref, ln2b_ref, out_ref):
+            mask = block_mask()
+            x = x_ref[...].astype(jnp.float32)  # (R, D)
+            for layer in range(NL):
+                xc = x.astype(cd)
+                v = (jnp.dot(xc, wv_ref[layer].astype(cd),
+                             preferred_element_type=jnp.float32)
+                     + bv_ref[layer])
+                g = (jnp.dot(xc, wqk_ref[layer].astype(cd),
+                             preferred_element_type=jnp.float32)
+                     + gb_ref[layer])                      # (R, NH*D)
+                x_p = x.reshape(npacks, PL_ROWS, D)
+                v_p = v.reshape(npacks, PL_ROWS, D)
+                heads = []
+                for h in range(NH):
+                    g_h = g[:, h * D:(h + 1) * D].reshape(
+                        npacks, PL_ROWS, D)                # 256-lane slice
+                    w = jax.nn.softmax(
+                        bdot(g_h, x_p, True) * inv_sqrt + mask[None], axis=-1)
+                    heads.append(bdot(w, v_p[:, :, h * HD:(h + 1) * HD],
+                                      False))
+                ctx = jnp.concatenate(heads, axis=-1).reshape(R, D)
+                a = jnp.dot(ctx.astype(cd), wo_ref[layer].astype(cd),
+                            preferred_element_type=jnp.float32)
+                x = ffn_ln(x, a, bo_ref[layer], ln1s_ref[layer],
                            ln1b_ref[layer], w1_ref[layer], b1_ref[layer],
                            w2_ref[layer], b2_ref[layer], ln2s_ref[layer],
                            ln2b_ref[layer])
@@ -263,6 +338,13 @@ def _encoder_call(x, stacked, L, NH, npacks, compute_dtype, interpret,
         sw = _split_head_weights(stacked, NH)
         names = ("wq", "wk", "wv", "bq", "bk", "bv", "wo_h", "bo",
                  "w1", "b1", "w2", "b2", "ln1s", "ln1b", "ln2s", "ln2b")
+        weights = [sw[n].astype(wdtype if n.startswith("w") else jnp.float32)
+                   for n in names]
+    elif attn_impl == "wqk":
+        sw = _wqk_weights(stacked, NH)
+        names = ("wqk_cat", "gbias", "wv", "bv", "wo", "bo",
+                 "w1", "b1", "w2", "b2", "ln1s", "ln1b", "ln2s", "ln2b")
+        # gbias adds into the fp32-accumulated G: fp32 like the other biases
         weights = [sw[n].astype(wdtype if n.startswith("w") else jnp.float32)
                    for n in names]
     else:

@@ -95,6 +95,14 @@ def test_stacked_whole_network_matches_scan(cell):
         dir_batched=True)
     np.testing.assert_array_equal(np.asarray(out_db), np.asarray(out))
     np.testing.assert_array_equal(np.asarray(hn_db), np.asarray(hn))
+    # the multi-chain variant (batch tile split into n_chains interleaved
+    # recurrences) is the same math bit for bit: the recurrence never mixes
+    # batch rows, so sub-tiling the batch only reorders independent ops
+    out_mc, hn_mc = birnn_apply_pallas_stacked(
+        layers, jnp.asarray(x), interpret=True, b_tile=8, cell=cell,
+        n_chains=2)
+    np.testing.assert_array_equal(np.asarray(out_mc), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(hn_mc), np.asarray(hn))
 
 
 def test_lstm_multilayer_matches_scan():
