@@ -418,7 +418,9 @@ def main():
         return
     if mode == "e2e":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
-        kq = sys.argv[3] if len(sys.argv) > 3 else "none"
+        # default matches the shipped call_mods transfer path
+        # (CallModsConfig.transfer_quant="auto" -> int8 on the bf16 fast path)
+        kq = sys.argv[3] if len(sys.argv) > 3 else "auto"
         print(json.dumps({"e2e": bench_e2e_stream(batch=batch,
                                                   kinetics_quant=kq)}))
         return

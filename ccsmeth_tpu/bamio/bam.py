@@ -517,8 +517,12 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
     sorted (stable) and spilled as a BGZF run file, and the runs are k-way
     merged (``heapq.merge``, stable across runs created in input order) — so
     the output byte stream is IDENTICAL for any budget, including the
-    no-spill in-memory fast path (``mem_budget_mb=None``). Returns
-    ``{"records": n, "runs": k}`` (runs == 0 when everything fit in memory).
+    no-spill in-memory fast path (``mem_budget_mb=None``). Live runs are
+    consolidated (contiguous-group re-merge, stability-preserving) whenever
+    they reach 64, so the merge never holds more than 64 open files no matter
+    how small the budget or large the input. Returns
+    ``{"records": n, "runs": k}`` — k record-buffer spills (0 = all fit in
+    memory).
     """
     import heapq
     import os
@@ -528,10 +532,13 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
     # bound the codec spans by the budget so "sort in X MB" means the whole
     # pass (reader buffers + record buffer + writer buffers), not just the
     # record buffer
-    budget0 = None if mem_budget_mb is None else int(mem_budget_mb) << 20
+    budget0 = None if mem_budget_mb is None else max(0, int(mem_budget_mb) << 20)
     in_span = (None if budget0 is None
                else min(8 << 20, max(128 << 10, budget0 // 4)))
-    w_span = None if budget0 is None else max(128 << 10, budget0 // 2)
+    # the spill writer's span coexists with the full record buffer: cap it
+    # well below the record-buffer share so peak stays ~budget, not 1.5x
+    w_span = None if budget0 is None else min(8 << 20,
+                                              max(128 << 10, budget0 // 8))
     reader = BamReader(in_path, span_bytes=in_span)
     if reader._bgzf is None:  # SAM text input (test/tooling path): tiny, in-memory
         recs = list(reader)
@@ -543,21 +550,58 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
                 w.write(r)
         return {"records": len(recs), "runs": 0}
 
-    budget = budget0
+    # record-buffer share: whole budget minus the coexisting codec spans
+    budget = (None if budget0 is None
+              else max(0, budget0 - w_span - in_span))
     buf: list[bytes] = []
     buf_bytes = 0
     runs: list[str] = []
     tdir: str | None = None
     n_records = 0
+    n_spills = 0   # record-buffer spills (reported as "runs")
+    n_files = 0    # unique temp-file names (spills + consolidations)
+    # never hold more than this many run files open at once: tiny budgets on
+    # genome-scale inputs would otherwise accumulate unbounded runs and the
+    # final k-way merge would hit the fd limit (EMFILE). When the live list
+    # reaches the cap, consolidate it into ONE bigger run; contiguous-group
+    # merging with heapq.merge (stable, ties break toward earlier iterators)
+    # preserves overall input-order stability, so outputs stay byte-identical.
+    max_open_runs = 64
 
-    def spill() -> None:
-        nonlocal buf, buf_bytes, tdir
-        buf.sort(key=_raw_sort_key)
+    def _new_run_path() -> str:
+        nonlocal tdir, n_files
         if tdir is None:
             tdir = tempfile.mkdtemp(
                 prefix=".bamsort.",
                 dir=tmp_dir or os.path.dirname(os.path.abspath(out_path)))
-        rp = os.path.join(tdir, "run{:05d}.bgzf".format(len(runs)))
+        rp = os.path.join(tdir, "run{:07d}.bgzf".format(n_files))
+        n_files += 1
+        return rp
+
+    def consolidate() -> None:
+        nonlocal runs
+        rp = _new_run_path()
+        run_span = min(1 << 20, max(32 << 10,
+                                    (budget0 or 8 << 20) // (len(runs) + 1)))
+        readers = [BgzfReader(p, span_bytes=run_span) for p in runs]
+        try:
+            with BgzfWriter(rp, compresslevel=1, span_bytes=w_span) as w:
+                for r in heapq.merge(*(_iter_raw_records(rf) for rf in readers),
+                                     key=_raw_sort_key):
+                    w.write(struct.pack("<I", len(r)))
+                    w.write(r)
+        finally:
+            for rf in readers:
+                rf.close()
+        for p in runs:
+            os.unlink(p)
+        runs = [rp]
+
+    def spill() -> None:
+        nonlocal buf, buf_bytes, n_spills
+        n_spills += 1
+        buf.sort(key=_raw_sort_key)
+        rp = _new_run_path()
         with BgzfWriter(rp, compresslevel=1, span_bytes=w_span) as w:  # fast temps
             for r in buf:
                 w.write(struct.pack("<I", len(r)))
@@ -565,6 +609,8 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
         runs.append(rp)
         buf = []
         buf_bytes = 0
+        if len(runs) >= max_open_runs:
+            consolidate()
 
     try:
         for raw in _iter_raw_records(reader._bgzf):
@@ -584,7 +630,7 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
         if buf:
             spill()
         run_span = min(4 << 20, max(32 << 10,
-                                    (budget or 8 << 20) // (len(runs) + 1)))
+                                    (budget0 or 8 << 20) // (len(runs) + 1)))
         readers = [BgzfReader(rp, span_bytes=run_span) for rp in runs]
         try:
             with BamWriter(out_path, _header_with_so_coordinate(reader.header),
@@ -595,7 +641,7 @@ def sort_bam(in_path: str, out_path: str, compresslevel: int = 6,
         finally:
             for rf in readers:
                 rf.close()
-        return {"records": n_records, "runs": len(runs)}
+        return {"records": n_records, "runs": n_spills}
     finally:
         if tdir is not None:
             shutil.rmtree(tdir, ignore_errors=True)

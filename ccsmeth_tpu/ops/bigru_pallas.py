@@ -346,6 +346,10 @@ def _fused_stack_call(x_tm, flat_weights, n_layers, b_tile, compute_dtype,
     H = flat_weights[2].shape[-1] // n_gates  # whh of layer 0
     if b_tile % n_chains != 0:
         raise ValueError("b_tile must be divisible by n_chains")
+    if dir_batched and n_chains != 1:
+        # the dir_batched branch returns before the multi-chain code; silently
+        # ignoring n_chains would mislabel sweep verdicts
+        raise ValueError("n_chains>1 is not supported with dir_batched")
     if B % b_tile != 0:
         pad = b_tile - B % b_tile
         x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))

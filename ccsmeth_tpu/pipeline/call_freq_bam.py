@@ -586,6 +586,14 @@ def _chunk_site_tables(accs: dict, sorted_acc: dict, ref_name: str,
     rs, re_ = np.searchsorted(rev_pos, [ref_start, ref_end])
     refposinfo = {int(p): acc.fwd[int(p)] for p in fwd_pos[fs:fe]}
     refposinfo_rev = {int(p): acc.rev[int(p)] for p in rev_pos[rs:re_]}
+    return _combine_cg_tables(refposinfo, refposinfo_rev, combine)
+
+
+def _combine_cg_tables(refposinfo: dict, refposinfo_rev: dict, combine: bool):
+    """CG combining: rev-strand site r merges onto fwd site r-1
+    (call_mods_freq_bam.py:547-556). Shared by the full-scan and streaming
+    table builders — the streaming path's bit-identity guarantee requires
+    both to apply the exact same merge."""
     if combine:
         for rp, vals in refposinfo_rev.items():
             if rp == 0:
@@ -612,15 +620,7 @@ def _pop_chunk_tables(accs: dict, ref_name: str, ref_start: int, ref_end: int,
     rev_keys = sorted(p for p in acc.rev if ref_start <= p < ref_end)
     refposinfo = {p: acc.fwd.pop(p) for p in fwd_keys}
     refposinfo_rev = {p: acc.rev.pop(p) for p in rev_keys}
-    if combine:
-        for rp, vals in refposinfo_rev.items():
-            if rp == 0:
-                continue
-            base = refposinfo.get(rp - 1)
-            refposinfo[rp - 1] = ((list(base) + list(vals))
-                                  if base is not None else list(vals))
-        refposinfo_rev = {}
-    return refposinfo, refposinfo_rev
+    return _combine_cg_tables(refposinfo, refposinfo_rev, combine)
 
 
 def _dist_emit_chunks(cfg: FreqBamConfig, accs: dict, sorted_acc: dict,
@@ -826,7 +826,12 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     streaming = False
     if not dist:
         hdr_reader = BamReader(cfg.input_bam)
-        streaming = "SO:coordinate" in hdr_reader.header.text
+        # parse the @HD line's SO: field only — a @PG/@CO line mentioning
+        # "SO:coordinate" must not enable streaming on an unsorted file
+        for hline in hdr_reader.header.text.splitlines():
+            if hline.startswith("@HD"):
+                streaming = "SO:coordinate" in hline.split("\t")
+                break
         hdr_reader.close()
     if streaming:
         from collections import deque as _deque

@@ -174,16 +174,17 @@ def _check_params_shapes(params, model_cfg, model_file: str) -> None:
 
     # shape-only probe rng: the init functions define the expected layout, but
     # a real random init would allocate+fill the whole model on the host at
-    # every checkpoint load just to read shapes — np.empty leaves pages
-    # untouched and skips the RNG entirely
+    # every checkpoint load just to read shapes — np.zeros is calloc-backed
+    # (no page touch, no RNG) and, unlike np.empty, never hands the init code
+    # garbage float64s that overflow its float32 casts with RuntimeWarnings
     class _ShapeProbeRng:
         @staticmethod
         def uniform(_lo, _hi, size=None):
-            return np.empty(() if size is None else size)
+            return np.zeros(() if size is None else size)
 
         @staticmethod
         def normal(_mu=0.0, _sigma=1.0, size=None):
-            return np.empty(() if size is None else size)
+            return np.zeros(() if size is None else size)
 
     if isinstance(model_cfg, TransEncConfig):
         expect = init_transenc(_ShapeProbeRng(), model_cfg)

@@ -11,7 +11,9 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 cd /root/repo
-while [ -f "$PREV" ] && ! grep -q "QUEUE DONE" "$PREV"; do sleep 60; done
+# wait until the predecessor's log EXISTS and says done — a missing log means
+# it hasn't started yet, not that the chip is free
+while ! grep -qs "QUEUE DONE" "$PREV"; do sleep 60; done
 run() { local name=$1 t=$2; shift 2
   echo "=== $name start $(date +%H:%M:%S) ===" | tee -a "$LOG/queue.log"
   timeout "$t" "$@" > "$LOG/$name.log" 2>&1

@@ -128,6 +128,9 @@ def test_fused_dispatcher_partial_group_and_order():
     assert not _FusedDispatcher.attached(toks[4])
     for i in reversed(range(5)):  # out-of-order collection
         np.testing.assert_array_equal(fz.collect(toks[i]), ref[i])
+
+
+def test_packed_with_h0_replay():
     cfg = AttRNNConfig(dropout_rate=0.0)
     params = init_attrnn(5, cfg)
     predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
