@@ -475,18 +475,32 @@ def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
     return out, jnp.concatenate(h_ns, axis=0)
 
 
+# shipped stacked-kernel chain config (ops_experiments/bigru_chains_sweep.py,
+# r3 on-chip, B=16384 bf16 bare kernel): n_chains=2 @ b_tile=128 measured
+# 1,071k rows/s vs 1,030k for the r2 default (1 @ 128) — +4.0%; (2, 256)
+# +1.7%; 4 chains @ 512 failed remote compile. The recurrence is mostly
+# VPU/throughput-bound (PERF.md §1), so extra chains buy only the small
+# latency-hiding margin.
+STACK_N_CHAINS = 1  # default until the full-model gain is confirmed on-chip
+STACK_B_TILE: int | None = None
+
+
 def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
                                compute_dtype=jnp.float32,
                                b_tile: int | None = None,
                                interpret: bool | None = None,
                                cell: str = "gru",
                                dir_batched: bool = False,
-                               n_chains: int = 1):
+                               n_chains: int | None = None):
     """Whole-network fused BiRNN: one pallas_call for all layers; same signature
     as birnn_apply_pallas — (outputs (B, L, 2H) f32, h_n (2*NL, B, H) torch
     layout). Zero h0/c0; inference path."""
     if interpret is None:
         interpret = not _on_tpu()
+    if n_chains is None:
+        n_chains = STACK_N_CHAINS
+    if b_tile is None:
+        b_tile = STACK_B_TILE
     if b_tile is None:
         # smaller tile than the per-layer kernel: the full (L, Bt, G) f32 gate
         # projections for both directions live in VMEM at once (128 measured
