@@ -184,8 +184,8 @@ def bench_numerics(batch: int = 2048) -> dict:
 
 
 def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
-                     precision: str = "bf16", kinetics_quant: str = "auto"
-                     ) -> dict:
+                     precision: str = "bf16", kinetics_quant: str = "auto",
+                     fuse: int | None = None) -> dict:
     """Device-resident streaming throughput through the production
     dispatch/collect pipeline (pipeline/call_mods.py inner loop, VERDICT r1 #6):
     pre-extracted padded batches are dispatched `depth` ahead of collection, so
@@ -206,7 +206,8 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
         kinetics_quant = "int8" if precision == "bf16" else "none"
     predict = make_predict_fn(_apply_for(cfg, "pallas", precision), params, cfg,
                               transfer_dtype=tdt, kinetics_quant=kinetics_quant)
-    fuse = 8  # matches CallModsConfig.dispatch_fuse (the shipped default)
+    if fuse is None:
+        fuse = 8  # matches CallModsConfig.dispatch_fuse (the shipped default)
     # n_batches distinct host-side batches (realistic: every dispatch transfers)
     host_batches = [_example_feats(batch, seed=s) for s in range(min(n_batches, 8))]
     predict(host_batches[0])  # compile + warm (packed path)
@@ -421,8 +422,10 @@ def main():
         # default matches the shipped call_mods transfer path
         # (CallModsConfig.transfer_quant="auto" -> int8 on the bf16 fast path)
         kq = sys.argv[3] if len(sys.argv) > 3 else "auto"
+        fuse = int(sys.argv[4]) if len(sys.argv) > 4 else None
         print(json.dumps({"e2e": bench_e2e_stream(batch=batch,
-                                                  kinetics_quant=kq)}))
+                                                  kinetics_quant=kq,
+                                                  fuse=fuse)}))
         return
 
     from ccsmeth_tpu.models import AttRNNConfig
