@@ -208,7 +208,7 @@ def _train_cfg(args):
         lr_mode_strategy=args.lr_mode_strategy, max_epoch_num=args.max_epoch_num,
         min_epoch_num=args.min_epoch_num, pos_weight=args.pos_weight,
         step_interval=args.step_interval, init_model=args.init_model,
-        dl_offsets=args.dl_offsets,
+        step_fuse=args.step_fuse, dl_offsets=args.dl_offsets,
         save_opt_state=args.save_opt_state, resume_from=args.resume_from,
         rnn_backend=args.rnn_backend, precision=args.precision,
         tseed=args.tseed,
@@ -257,6 +257,10 @@ def _add_train_args(p):
     g.add_argument("--min_epoch_num", type=int, default=10)
     g.add_argument("--pos_weight", type=float, default=1.0)
     g.add_argument("--step_interval", type=int, default=500)
+    g.add_argument("--step_fuse", type=int, default=8,
+                   help="fuse k train steps into one transfer + one device "
+                        "dispatch between logging boundaries (lax.scan; "
+                        "per-step numerics unchanged); 1 = per-step dispatch")
     g.add_argument("--dl_num_workers", type=int, default=0,
                    help="[IGNORED] data loading is vectorized in-process")
     g.add_argument("--dl_offsets", action="store_true", default=False,

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..models import AttRNNConfig, TransEncConfig, apply_attrnn, init_attrnn
 from ..models.convert import torch_ckpt_to_params
@@ -76,6 +77,10 @@ class TrainConfig:
     save_opt_state: bool = False
     resume_from: str | None = None  # params .npz; sibling .train_state.npz restores
     #                                 optimizer state + epoch
+    # fuse k train steps into ONE transfer + ONE dispatch (lax.scan through the
+    # (params, opt_state) carry) between logging boundaries — per-step numerics
+    # and rng stream unchanged; cuts per-step RPC 1/k on remote runtimes
+    step_fuse: int = 8
     # 'pallas' trains through the fused kernels + custom VJP (GRU, zero h0)
     dl_offsets: bool = False  # out-of-core streaming loader
     rnn_backend: str = "xla"
@@ -167,6 +172,19 @@ def _unpack_cols(flat, fields):
     labels = flat[:, o].astype(jnp.int32)
     mask = flat[:, o + 1]
     return feats, labels, mask
+
+
+def _fuse_schedule(total: int, interval: int, k: int):
+    """Group sizes for the fused train dispatch: runs of exactly k steps that
+    never cross a logging/validation boundary (a multiple of `interval`, or
+    `total`); remainder steps run singly. Only two executable shapes exist (k
+    and 1), and the schedule is deterministic — identical on every rank."""
+    i = 0
+    while i < total:
+        seg = min(interval - (i % interval), total - i)
+        size = k if (k > 1 and seg >= k) else 1
+        yield size
+        i += size
 
 
 def _prefetch(iterator, stage, depth: int = 2):
@@ -281,11 +299,35 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
         shard_step_packed, mesh=mesh, in_specs=(P(), P(), P("data"), P()),
         out_specs=(P(), P(), P()), check_vma=False))
 
+    # fused companion: k packed batches in ONE (k, B, n_cols) transfer and ONE
+    # executable dispatch — lax.scan chains the identical per-step math through
+    # the (params, opt_state) carry and returns the k per-step losses. On a
+    # remote-attached runtime this cuts the per-step dispatch/transfer RPC to
+    # 1/k (the training-loop analog of the inference dispatch_fuse); per-step
+    # numerics are unchanged (same step program, same rng stream — gated by
+    # tests/test_training.py fuse-vs-single equality).
+    def shard_step_packed_many(params, opt_state, flats, rngs):
+        def body(carry, per):
+            p, o = carry
+            flat, rng = per
+            p, o, loss = shard_step_packed(p, o, flat, rng)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (flats, rngs))
+        return params, opt_state, losses
+
+    jit_packed_many = jax.jit(jax.shard_map(
+        shard_step_packed_many, mesh=mesh,
+        in_specs=(P(), P(), P(None, "data"), P()),
+        out_specs=(P(), P(), P()), check_vma=False))
+
     def jstep(params, opt_state, feats, labels, mask, rng):
         return jit_dict(params, opt_state, feats, labels, mask, rng)
 
     jstep.jitted = jit_dict  # AOT handle (lower/compile) for cost-model gates
     jstep.packed = jit_packed
+    jstep.packed_many = jit_packed_many
     jstep.pack_batch = lambda feats, labels, mask: _pack_cols(fields, feats,
                                                               labels, mask)
     return jstep, mesh
@@ -461,6 +503,43 @@ def train(cfg: TrainConfig) -> dict:
             mask[:n_valid] = 1.0
             return to_global(step_fn.pack_batch(feats, labels, mask))
         return stage
+
+    mega_sharding = NamedSharding(mesh, P(None, "data"))
+
+    def to_global_many(flats):
+        """(k, B_local, n_cols) stacked packed batches -> one global sharded
+        array for the fused k-step dispatch (batch dim sharded, k replicated
+        along the scan axis)."""
+        if n_proc == 1:
+            return jax.device_put(flats, mega_sharding)
+        global_shape = (flats.shape[0], flats.shape[1] * n_proc, flats.shape[2])
+        return jax.make_array_from_process_local_data(mega_sharding, flats,
+                                                      global_shape)
+
+    def grouped_stage_for(step_fn, sizes):
+        """(group iterator, stage fn) for the fused path: the prefetch worker
+        packs each batch of a group and ships the stack as ONE transfer."""
+        import itertools as _it
+
+        def gen_groups(batch_gen):
+            it = iter(batch_gen)
+            for size in sizes:
+                grp = list(_it.islice(it, size))
+                if not grp:
+                    return
+                yield grp
+
+        def stage(grp):
+            flats = []
+            for feats, labels, n_valid in grp:
+                mask = np.zeros(pad_n, np.float32)
+                mask[:n_valid] = 1.0
+                flats.append(step_fn.pack_batch(feats, labels, mask))
+            if len(flats) == 1:
+                return to_global(flats[0])
+            return to_global_many(np.stack(flats))
+
+        return gen_groups, stage
     curr_best_accuracy = 0.0
     curr_best_loc = 0
     best_epoch_accs: list[float] = []
@@ -506,23 +585,39 @@ def train(cfg: TrainConfig) -> dict:
         tlosses: list[float] = []
         start = time.time()
         shard = ((cfg.process_id, n_proc) if n_proc > 1 else None)
-        i = -1
-        staged_train = _prefetch(train_ds.batches(
+        i = 0  # steps completed this epoch
+        # fused dispatch: the group schedule caps every epoch at total_step
+        # steps (so multi-host ranks execute equal collective step counts) and
+        # never crosses a logging boundary — per-step numerics and the rng
+        # stream are identical to single-step dispatch (gated in
+        # tests/test_training.py)
+        gen_groups, stage_g = grouped_stage_for(
+            train_step, _fuse_schedule(total_step, cfg.step_interval,
+                                       max(1, cfg.step_fuse)))
+        staged_train = _prefetch(gen_groups(train_ds.batches(
             cfg.batch_size, True, nprng, pad_to=pad_n, shard=shard,
-            drop_remainder=n_proc > 1), stage_for(train_step))
+            drop_remainder=n_proc > 1)), stage_g)
         try:
             for gflat in staged_train:
-                i += 1
-                if n_proc > 1 and i >= total_step:
-                    break  # equal collective step count on every host
-                rng, sub = jax.random.split(rng)
-                params, opt_state, loss = train_step.packed(params, opt_state,
-                                                            gflat, sub)
-                # keep losses on device; fetch only at logging boundaries (a float()
-                # per step is a host sync per step — expensive on remote runtimes)
-                tlosses.append(loss)
-                if (i + 1) % cfg.step_interval == 0 or (i + 1) == total_step:
-                    tloss_mean = (float(jnp.mean(jnp.stack(tlosses)))
+                k_i = gflat.shape[0] if gflat.ndim == 3 else 1
+                subs = []
+                for _ in range(k_i):  # same split sequence as single-step
+                    rng, sub = jax.random.split(rng)
+                    subs.append(sub)
+                # keep losses on device; fetch only at logging boundaries (a
+                # float() per step is a host sync per step — expensive on
+                # remote runtimes)
+                if k_i == 1:
+                    params, opt_state, loss = train_step.packed(
+                        params, opt_state, gflat, subs[0])
+                    tlosses.append(loss[None])
+                else:
+                    params, opt_state, losses = train_step.packed_many(
+                        params, opt_state, gflat, jnp.stack(subs))
+                    tlosses.append(losses)
+                i += k_i
+                if i % cfg.step_interval == 0 or i == total_step:
+                    tloss_mean = (float(jnp.mean(jnp.concatenate(tlosses)))
                                   if tlosses else 0.0)
                     v_meanloss, v_acc, v_prec, v_rec = run_valid(params)
                     accs_per_epoch.append(v_acc)
@@ -554,7 +649,7 @@ def train(cfg: TrainConfig) -> dict:
                         "Epoch [%d/%d], Step [%d/%d]; LR: %.4e; TrainLoss: %.4f; "
                         "ValidLoss: %.4f, Acc: %.4f, Prec: %.4f, Reca: %.4f, "
                         "CurrE_best_acc: %.4f, Best_acc: %.4f; Time: %.2fs",
-                        epoch + 1, cfg.max_epoch_num, i + 1, total_step, sched.lr,
+                        epoch + 1, cfg.max_epoch_num, i, total_step, sched.lr,
                         tloss_mean, v_meanloss, v_acc, v_prec, v_rec,
                         curr_best_epoch, curr_best_accuracy, time.time() - start)
                     tlosses = []

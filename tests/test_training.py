@@ -352,3 +352,37 @@ def test_ckpt_shape_mismatch_fails_fast(tmp_path):
     # matching config loads fine
     params = load_model_params(p, small)
     assert params["fc1"]["w"].shape == (4 * 32, 2)
+
+
+def test_step_fuse_matches_single_step(tmp_path):
+    """step_fuse>1 (k steps fused into one lax.scan dispatch) must reproduce
+    the single-step loop exactly: same rng stream, same per-step math — losses
+    and checkpoint params bit-for-bit (CPU fp32)."""
+    from ccsmeth_tpu.models.params_io import load_params
+
+    tr = str(tmp_path / "train.tsv")
+    va = str(tmp_path / "valid.tsv")
+    _write_feature_tsv(tr, n=300, seed=5)
+    _write_feature_tsv(va, n=60, seed=6)
+    results = {}
+    for fuse in (1, 3):
+        mdir = str(tmp_path / "m{}".format(fuse))
+        cfg = TrainConfig(
+            train_file=tr, valid_file=va, model_dir=mdir,
+            model_type="attbigru2s", layer_rnn=1, hid_rnn=16, batch_size=32,
+            dropout_rate=0.3, max_epoch_num=2, min_epoch_num=2,
+            step_interval=7, lr=0.01, tseed=11, step_fuse=fuse,
+        )
+        res = train(cfg)
+        ck = sorted(glob.glob(mdir + "/attbigru2s.b21_epoch*.ckpt.npz"))
+        results[fuse] = (res["best_accuracy"], ck)
+    acc1, ck1 = results[1]
+    acc3, ck3 = results[3]
+    assert acc1 == acc3
+    assert [p.split("/")[-1] for p in ck1] == [p.split("/")[-1] for p in ck3]
+    p1 = load_params(ck1[-1])
+    p3 = load_params(ck3[-1])
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
