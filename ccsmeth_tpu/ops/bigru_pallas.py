@@ -476,13 +476,14 @@ def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
 
 
 # shipped stacked-kernel chain config (ops_experiments/bigru_chains_sweep.py,
-# r3 on-chip, B=16384 bf16 bare kernel): n_chains=2 @ b_tile=128 measured
-# 1,071k rows/s vs 1,030k for the r2 default (1 @ 128) — +4.0%; (2, 256)
-# +1.7%; 4 chains @ 512 failed remote compile. The recurrence is mostly
-# VPU/throughput-bound (PERF.md §1), so extra chains buy only the small
-# latency-hiding margin.
-STACK_N_CHAINS = 1  # default until the full-model gain is confirmed on-chip
-STACK_B_TILE: int | None = None
+# r3 on-chip, B=16384 bf16). Bare kernel: (2,128) 1,071k rows/s, (4,256)
+# 1,091k, (8,256) 1,115k vs 1,030k for the r2 default (1,128) — up to +8.3%;
+# (3,192) and (4,512) lose/fail. FULL MODEL: 1@128 504.7k sites/s,
+# 2@128 524.3k (+3.9%, shipped), 4@128 521.5k. The recurrence is mostly
+# VPU/throughput-bound (PERF.md §1), so extra chains buy the latency-hiding
+# margin only; parity is bit-exact (tests/test_pallas_bigru.py).
+STACK_N_CHAINS = 2
+STACK_B_TILE: int | None = 128
 
 
 def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
@@ -498,7 +499,9 @@ def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
     if interpret is None:
         interpret = not _on_tpu()
     if n_chains is None:
-        n_chains = STACK_N_CHAINS
+        # dir_batched has its own chain structure; only an EXPLICIT n_chains>1
+        # alongside it is a caller error (guarded in _fused_stack_call)
+        n_chains = 1 if dir_batched else STACK_N_CHAINS
     if b_tile is None:
         b_tile = STACK_B_TILE
     if b_tile is None:
