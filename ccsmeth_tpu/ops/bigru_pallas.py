@@ -477,13 +477,15 @@ def birnn_apply_pallas(layers: list[dict], x: jnp.ndarray,
 
 # shipped stacked-kernel chain config (ops_experiments/bigru_chains_sweep.py,
 # r3 on-chip, B=16384 bf16). Bare kernel: (2,128) 1,071k rows/s, (4,256)
-# 1,091k, (8,256) 1,115k vs 1,030k for the r2 default (1,128) — up to +8.3%;
-# (3,192) and (4,512) lose/fail. FULL MODEL: 1@128 504.7k sites/s,
-# 2@128 524.3k (+3.9%, shipped), 4@128 521.5k. The recurrence is mostly
-# VPU/throughput-bound (PERF.md §1), so extra chains buy the latency-hiding
-# margin only; parity is bit-exact (tests/test_pallas_bigru.py).
-STACK_N_CHAINS = 2
-STACK_B_TILE: int | None = 128
+# 1,091k, (8,256) 1,115k vs 1,030k for the r2 default (1,128); (3,192) and
+# (16,256)/(8,128) lose, (4,512) fails remote compile. FULL MODEL: 1@128
+# 504.7k sites/s, 2@128 524.3k, 4@128 521.5k, 4@256 527.3k, **8@256 541.9k
+# (+7.4%, SHIPPED)**. The recurrence is mostly VPU-throughput-bound
+# (PERF.md §1); 8 interleaved 32-row chain pairs recover the scheduling
+# slack without starving the MXU tiles. Parity is bit-exact
+# (tests/test_pallas_bigru.py).
+STACK_N_CHAINS = 8
+STACK_B_TILE: int | None = 256
 
 
 def birnn_apply_pallas_stacked(layers: list[dict], x: jnp.ndarray,
