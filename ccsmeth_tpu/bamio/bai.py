@@ -298,25 +298,47 @@ def fetch_region(bam_path: str, contig: str, start: int, stop: int,
                  bai_path: str | None = None):
     """Yield BamRecords overlapping [start, stop) using the .bai random-access
     index (builds the index on demand for a sorted BAM)."""
+    yield from fetch_scoped(bam_path, {contig: [(start, stop)]},
+                            bai_path=bai_path, build=True)
+
+
+def fetch_scoped(bam_path: str, scope: dict[str, list[tuple[int, int]]],
+                 bai_path: str | None = None, build: bool = False):
+    """Yield BamRecords overlapping any [start, stop) span of any scoped
+    contig, via the .bai index — each record exactly ONCE per contig even
+    when it straddles several spans (virtual-offset dedup is shared across
+    that contig's spans). Contigs are visited in reference order; within a
+    contig records come back in coordinate order per span, so site
+    accumulation (order-independent) can consume this directly.
+
+    With build=False (the default) a missing .bai raises FileNotFoundError
+    instead of building one — concurrent share-nothing processes must not
+    race to write the same index file."""
     if bai_path is None:
         bai_path = bam_path + ".bai"
     if not os.path.exists(bai_path):
+        if not build:
+            raise FileNotFoundError(bai_path)
         build_index(bam_path, bai_path)
-    # header + refid via the normal reader
     reader = BamReaderHeaderOnly(bam_path)
     header = reader.header
-    try:
-        rid = header.refid(contig)
-    except KeyError:
-        return
+    rids = []
+    for contig in scope:
+        try:
+            rids.append((header.refid(contig), contig))
+        except KeyError:
+            continue
     idx = BaiIndex(bai_path)
-    chunks = idx.chunks_for(rid, start, stop)
-    if not chunks:
-        return
-    seen_starts = set()
     fh = open(bam_path, "rb")
     try:
-        yield from _iter_chunks(fh, chunks, header, rid, start, stop, seen_starts)
+        for rid, contig in sorted(rids):
+            seen_starts: set = set()
+            for start, stop in sorted(scope[contig]):
+                chunks = idx.chunks_for(rid, start, stop)
+                if not chunks:
+                    continue
+                yield from _iter_chunks(fh, chunks, header, rid, start, stop,
+                                        seen_starts)
     finally:
         fh.close()
 
@@ -373,14 +395,17 @@ def _iter_chunks(fh, chunks, header, rid, start, stop, seen_starts):
             rec_p = p
             p += 4 + block_size
             if rec_voffset in seen_starts:
-                continue  # chunk overlap dedup
-            seen_starts.add(rec_voffset)
+                continue  # chunk/span overlap dedup
             rec = decode_record(data[rec_p + 4 : rec_p + 4 + block_size], header)
             if rec.ref_id != rid or rec.is_unmapped:
                 continue
             if rec.pos >= stop:
                 break
             if rec.reference_end > start:
+                # mark seen only on YIELD: a record decoded inside this span's
+                # chunk range but overlapping a LATER span must not be
+                # swallowed when seen_starts is shared across spans
+                seen_starts.add(rec_voffset)
                 yield rec
 
 

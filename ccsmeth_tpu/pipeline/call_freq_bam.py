@@ -437,7 +437,8 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
                         owned_regions: dict[str, list] | None = None,
                         read_shard: tuple[int, int] | None = None,
                         flush_cb=None,
-                        accs: dict[str, "_ContigAcc"] | None = None
+                        accs: dict[str, "_ContigAcc"] | None = None,
+                        scoped_regions: dict[str, list] | None = None
                         ) -> dict[str, _ContigAcc]:
     """One pass over the BAM: filters + MM/ML decode + aligned-pairs walk
     (parity with _readmods_to_bed_of_one_region's per-read block, lines 488-540).
@@ -461,7 +462,18 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
     genome (the reference bounds memory by BAI-fetching 500kb regions instead,
     call_mods_freq_bam.py:597-614). Sort order is verified while scanning;
     a violation raises (flushed chunks could otherwise silently lose calls).
+
+    scoped_regions: optional {contig: [(start, end), ...]} — read the BAM
+    through the .bai index, decoding ONLY records overlapping the scope
+    (the reference's fetch-per-region access pattern,
+    call_mods_freq_bam.py:600-614) instead of linearly scanning the whole
+    file. Used for --contigs subsets and share-nothing chunk ownership, where
+    a full scan costs O(whole BAM) per process. Mutually exclusive with
+    flush_cb (records from overlapping spans arrive slightly out of global
+    coordinate order; scope already bounds memory).
     """
+    if scoped_regions is not None and flush_cb is not None:
+        raise ValueError("scoped_regions and flush_cb are mutually exclusive")
     if read_shard is not None:
         from ..parallel.distributed import owns_read
     modbase = "C" if cfg.modtype == "5mC" else "-"
@@ -484,7 +496,13 @@ def scan_bam_accumulate(cfg: FreqBamConfig, dnacontigs: dict[str, str],
     cnt_all = cnt_used = 0
     cur_rid = -1
     last_pos = -1
-    for rec in reader:
+    records = reader
+    if scoped_regions is not None:
+        from ..bamio.bai import fetch_scoped
+
+        reader.close()
+        records = fetch_scoped(cfg.input_bam, scoped_regions)
+    for rec in records:
         if rec.ref_id < 0:
             continue
         contig = refnames[rec.ref_id]
@@ -824,15 +842,39 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     # bit-identical to the full-scan path. dist mode keeps the full scan (all
     # ranks must issue one identical psum sequence after the pass).
     streaming = False
+    sorted_hdr = False
     if not dist:
         hdr_reader = BamReader(cfg.input_bam)
         # parse the @HD line's SO: field only — a @PG/@CO line mentioning
         # "SO:coordinate" must not enable streaming on an unsorted file
         for hline in hdr_reader.header.text.splitlines():
             if hline.startswith("@HD"):
-                streaming = "SO:coordinate" in hline.split("\t")
+                sorted_hdr = "SO:coordinate" in hline.split("\t")
                 break
         hdr_reader.close()
+        streaming = sorted_hdr
+    # BAI-scoped read access (reference behavior: fetch-per-region,
+    # call_mods_freq_bam.py:600-614): when the run only touches a subset of
+    # the genome — --contigs, or share-nothing chunk ownership — and the BAM
+    # is sorted with an existing .bai, decode ONLY the scoped records instead
+    # of linearly scanning the whole file. Index must pre-exist: concurrent
+    # share-nothing ranks must not race to build the same .bai. Scope already
+    # bounds memory, so this takes precedence over streaming.
+    scoped_regions = None
+    if sorted_hdr and not dist and os.path.exists(cfg.input_bam + ".bai"):
+        if owned_regions is not None:
+            scope = {c: sp for c, sp in owned_regions.items() if sp}
+        elif cfg.contigs:
+            chunk_contigs = {c for c, _s, _e in ref_chunks}
+            scope = ({c: [(0, len(dnacontigs[c]))] for c in chunk_contigs}
+                     if chunk_contigs != set(dnacontigs) else None)
+        else:
+            scope = None
+        if scope:
+            scoped_regions = scope
+            streaming = False
+            LOGGER.info("BAI-scoped scan: %d contig(s), %d span(s)",
+                        len(scope), sum(len(v) for v in scope.values()))
     if streaming:
         from collections import deque as _deque
 
@@ -880,7 +922,8 @@ def call_mods_frequency_from_bamfile(cfg: FreqBamConfig) -> list[str]:
     else:
         accs = scan_bam_accumulate(cfg, dnacontigs,
                                    set(motifs) if motifs_filter else None,
-                                   owned_regions, read_shard)
+                                   owned_regions, read_shard,
+                                   scoped_regions=scoped_regions)
         # sort each contig's site positions ONCE; chunks then slice by
         # searchsorted (the per-chunk dict-comprehension alternative rescans
         # every contig site per chunk: O(sites x chunks), quadratic at genome

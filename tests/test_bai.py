@@ -89,3 +89,23 @@ def test_fetch_wide_coordinate_multiblock(tmp_path):
         got = sorted(r.qname for r in fetch_region(p, "chrS", start, stop))
         want = sorted(_brute_force(p, start, stop))
         assert got == want, (start, stop, len(got), len(want))
+
+
+def test_fetch_scoped_multi_span_dedup(sorted_bam, tmp_path):
+    """fetch_scoped yields every record exactly once even when spans overlap
+    or a read straddles adjacent spans; missing .bai raises (no build race)."""
+    from ccsmeth_tpu.bamio.bai import fetch_scoped
+
+    build_index(sorted_bam)
+    # overlapping + adjacent spans covering [2000, 12000)
+    spans = [(2000, 6000), (5500, 9000), (9000, 12000)]
+    got = [r.qname for r in fetch_scoped(sorted_bam, {"chrS": spans})]
+    assert len(got) == len(set(got)), "duplicate records across spans"
+    assert sorted(got) == sorted(_brute_force(sorted_bam, 2000, 12000))
+
+    import shutil
+
+    nobai = str(tmp_path / "nobai.bam")
+    shutil.copy(sorted_bam, nobai)
+    with pytest.raises(FileNotFoundError):
+        list(fetch_scoped(nobai, {"chrS": [(0, 100)]}))

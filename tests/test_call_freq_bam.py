@@ -394,3 +394,71 @@ def test_streaming_contig_order_independent(tmp_path):
     # both contigs present
     chroms = {ln.split("\t")[0] for p in outs_stream for ln in open(p)}
     assert chroms == {"chrA", "chrB"}
+
+
+def test_scoped_shard_scan_reconstructs_single_run(modbam, tmp_path):
+    """With a .bai present, share-nothing shards take the BAI-scoped read path
+    (decode only owned spans) — shard-union must STILL equal the full run."""
+    from ccsmeth_tpu.bamio.bai import build_index
+
+    build_index(modbam.bam)
+    try:
+        outs_single = _run_ours(modbam, str(tmp_path / "single"), chunk_len=500)
+        single = _parse_freq_txt([p for p in outs_single if ".all." in p][0])
+        merged = []
+        for pid in range(2):
+            outs = _run_ours(modbam, str(tmp_path / "sc{}".format(pid)),
+                             chunk_len=500, num_processes=2, process_id=pid)
+            out_all = [p for p in outs if ".all." in p]
+            if out_all:
+                merged.extend(_parse_freq_txt(out_all[0]))
+        key = lambda x: (x[0], x[1], x[2])
+        assert sorted(merged, key=key) == sorted(single, key=key)
+    finally:
+        import os as _os
+
+        _os.remove(modbam.bam + ".bai")  # module-scoped fixture: leave no .bai
+
+
+def test_scoped_contigs_subset_equals_fullscan_rows(tmp_path):
+    """--contigs on a multi-contig indexed BAM rides the BAI-scoped path and
+    reproduces exactly the full run's rows for that contig."""
+    from ccsmeth_tpu.bamio.bai import build_index
+    from ccsmeth_tpu.bamio.bam import BamHeader
+    from tests.synth import make_synth_bam, write_fasta
+    from tests.test_call_mods_e2e import _make_ckpt
+
+    bam_a = str(tmp_path / "a.bam")
+    seq_a, _ = make_synth_bam(bam_a, n_reads=12, read_len=300, ref_len=1500,
+                              seed=5)
+    bam_b = str(tmp_path / "b.bam")
+    seq_b, _ = make_synth_bam(bam_b, n_reads=12, read_len=300, ref_len=1500,
+                              seed=6)
+    fasta = str(tmp_path / "ref.fa")
+    write_fasta(fasta, {"chrA": seq_a, "chrB": seq_b})
+    hdr = BamHeader("@SQ\tSN:chrA\tLN:1500\n@SQ\tSN:chrB\tLN:1500\n",
+                    [("chrA", 1500), ("chrB", 1500)])
+    recs = []
+    for path, rid in ((bam_a, 0), (bam_b, 1)):
+        for rec in BamReader(path):
+            rec.ref_id = rid
+            recs.append(rec)
+    merged = str(tmp_path / "two.bam")
+    with BamWriter(merged, hdr) as w:
+        for rec in recs:
+            w.write(rec)
+    _tm, ckpt = _make_ckpt(tmp_path, seed=17)
+    mcfg = CallModsConfig(model_file=ckpt, mode="align", ref=fasta,
+                          batch_size=128)
+    bam = call_mods_bam(mcfg, merged, str(tmp_path / "mods"))
+    build_index(bam)
+    full = FreqBamConfig(input_bam=bam, ref=fasta,
+                         output=str(tmp_path / "full"), chunk_len=700)
+    outs_full = call_mods_frequency_from_bamfile(full)
+    rows_full = _parse_freq_txt([p for p in outs_full if ".all." in p][0])
+    sub = FreqBamConfig(input_bam=bam, ref=fasta, contigs="chrB",
+                        output=str(tmp_path / "sub"), chunk_len=700)
+    outs_sub = call_mods_frequency_from_bamfile(sub)
+    rows_sub = _parse_freq_txt([p for p in outs_sub if ".all." in p][0])
+    want = [r for r in rows_full if r[0] == "chrB"]
+    assert rows_sub == want and len(want) > 0
