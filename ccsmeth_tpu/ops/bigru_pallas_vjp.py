@@ -239,235 +239,6 @@ def _bwd_lstm_kernel(doutf_ref, doutb_ref, gatesf_ref, gatesb_ref,
               xb_ref, dhb_ref, dcb_ref, dxb_ref)
 
 
-# Time-unrolled GRU VJP kernels: grid=(batch_tiles,) with all L steps unrolled
-# inside one kernel body (the training analog of the stacked inference kernel,
-# bigru_pallas._make_stack_kernel). Removes the per-(tile, t) grid-step
-# overhead (21x fewer grid cells), hoists each direction's input projection
-# into ONE (L*Bt, C) matmul, interleaves 2*n_chains independent recurrences
-# for the scheduler, and accumulates weight grads in registers (one write per
-# tile instead of a revisited VMEM block per grid cell). Same math bit for bit
-# (gated vs the per-timestep kernels and the scan VJP in
-# tests/test_pallas_vjp.py). Default OFF until the on-chip train-step sweep
-# records a verdict (ops_experiments/vjp_tu_sweep.py).
-GRU_TIME_UNROLLED = False
-VJP_TU_B_TILE = 128
-VJP_TU_CHAINS = 4
-
-
-def _fwd_kernel_tu(x_ref, wih_ref, bih_ref, whh_ref, bhh_ref,
-                   outf_ref, outb_ref, gatesf_ref, gatesb_ref,
-                   *, H: int, L: int, compute_dtype, n_chains: int):
-    cd = compute_dtype
-    x = x_ref[...]
-    Bt = x.shape[1]
-    C = x.shape[2]
-    M = n_chains
-    bc = Bt // M
-    flat = x.reshape(L * Bt, C).astype(cd)
-    xg_f = (jnp.dot(flat, wih_ref[0].astype(cd),
-                    preferred_element_type=jnp.float32)
-            + bih_ref[0].astype(jnp.float32)).reshape(L, Bt, 3 * H)
-    xg_b = (jnp.dot(flat, wih_ref[1].astype(cd),
-                    preferred_element_type=jnp.float32)
-            + bih_ref[1].astype(jnp.float32)).reshape(L, Bt, 3 * H)
-    whh_f = whh_ref[0].astype(cd)
-    whh_b = whh_ref[1].astype(cd)
-    bhh_f = bhh_ref[0].astype(jnp.float32)
-    bhh_b = bhh_ref[1].astype(jnp.float32)
-
-    def cell(xg, hg, h):
-        r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
-        z = jax.nn.sigmoid(xg[:, H:2 * H] + hg[:, H:2 * H])
-        hgn = hg[:, 2 * H:]
-        n = jnp.tanh(xg[:, 2 * H:] + r * hgn)
-        return (1.0 - z) * n + z * h, jnp.concatenate([r, z, n, hgn], axis=1)
-
-    h_f = [jnp.zeros((bc, H), jnp.float32) for _ in range(M)]
-    h_b = [jnp.zeros((bc, H), jnp.float32) for _ in range(M)]
-    for j in range(L):
-        for m in range(M):
-            sl = slice(m * bc, (m + 1) * bc)
-            hg_f = jnp.dot(h_f[m].astype(cd), whh_f,
-                           preferred_element_type=jnp.float32) + bhh_f
-            h_f[m], g_f = cell(xg_f[j, sl], hg_f, h_f[m])
-            hg_b = jnp.dot(h_b[m].astype(cd), whh_b,
-                           preferred_element_type=jnp.float32) + bhh_b
-            h_b[m], g_b = cell(xg_b[L - 1 - j, sl], hg_b, h_b[m])
-            outf_ref[j, sl] = h_f[m].astype(outf_ref.dtype)
-            outb_ref[j, sl] = h_b[m].astype(outb_ref.dtype)
-            gatesf_ref[j, sl] = g_f.astype(gatesf_ref.dtype)
-            gatesb_ref[j, sl] = g_b.astype(gatesb_ref.dtype)
-
-
-def _bwd_kernel_tu(doutf_ref, doutb_ref, gatesf_ref, gatesb_ref,
-                   outf_ref, outb_ref, x_ref, wih_ref, whh_ref,
-                   dxf_ref, dxb_ref, dwih_ref, dbih_ref, dwhh_ref, dbhh_ref,
-                   *, H: int, L: int, compute_dtype, n_chains: int):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init_grads():
-        dwih_ref[...] = jnp.zeros_like(dwih_ref)
-        dbih_ref[...] = jnp.zeros_like(dbih_ref)
-        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
-        dbhh_ref[...] = jnp.zeros_like(dbhh_ref)
-
-    cd = compute_dtype
-    x = x_ref[...]
-    Bt = x.shape[1]
-    C = x.shape[2]
-    M = n_chains
-    bc = Bt // M
-    wih_t = [wih_ref[d].astype(cd).T for d in (0, 1)]
-    whh_t = [whh_ref[d].astype(cd).T for d in (0, 1)]
-    dwih_acc = [jnp.zeros((C, 3 * H), jnp.float32) for _ in (0, 1)]
-    dwhh_acc = [jnp.zeros((H, 3 * H), jnp.float32) for _ in (0, 1)]
-    dbih_acc = [jnp.zeros((3 * H,), jnp.float32) for _ in (0, 1)]
-    dbhh_acc = [jnp.zeros((3 * H,), jnp.float32) for _ in (0, 1)]
-    dh = [[jnp.zeros((bc, H), jnp.float32) for _ in range(M)] for _ in (0, 1)]
-
-    def step(d, s, m, sl, gates_ref, out_ref, dout_ref, dx_ref, x_idx):
-        g = gates_ref[s, sl].astype(jnp.float32)
-        r = g[:, :H]
-        z = g[:, H:2 * H]
-        n = g[:, 2 * H:3 * H]
-        hgn = g[:, 3 * H:]
-        h_prev = (out_ref[s - 1, sl].astype(jnp.float32) if s > 0
-                  else jnp.zeros((bc, H), jnp.float32))
-        dh_total = dout_ref[s, sl].astype(jnp.float32) + dh[d][m]
-        dz = dh_total * (h_prev - n) * z * (1.0 - z)
-        dn = dh_total * (1.0 - z) * (1.0 - n * n)
-        dr = dn * hgn * r * (1.0 - r)
-        dxg = jnp.concatenate([dr, dz, dn], axis=1)
-        dhg = jnp.concatenate([dr, dz, dn * r], axis=1)
-        dh[d][m] = (dh_total * z
-                    + jnp.dot(dhg.astype(cd), whh_t[d],
-                              preferred_element_type=jnp.float32))
-        dx_ref[s, sl] = jnp.dot(dxg.astype(cd), wih_t[d],
-                                preferred_element_type=jnp.float32
-                                ).astype(dx_ref.dtype)
-        x_t = x[x_idx, sl].astype(cd)
-        dwih_acc[d] += jnp.dot(x_t.T, dxg.astype(cd),
-                               preferred_element_type=jnp.float32)
-        dwhh_acc[d] += jnp.dot(h_prev.astype(cd).T, dhg.astype(cd),
-                               preferred_element_type=jnp.float32)
-        dbih_acc[d] += jnp.sum(dxg, axis=0)
-        dbhh_acc[d] += jnp.sum(dhg, axis=0)
-
-    for s in reversed(range(L)):
-        for m in range(M):
-            sl = slice(m * bc, (m + 1) * bc)
-            step(0, s, m, sl, gatesf_ref, outf_ref, doutf_ref, dxf_ref, s)
-            step(1, s, m, sl, gatesb_ref, outb_ref, doutb_ref, dxb_ref,
-                 L - 1 - s)
-    dwih_ref[0] += dwih_acc[0]
-    dwih_ref[1] += dwih_acc[1]
-    dwhh_ref[0] += dwhh_acc[0]
-    dwhh_ref[1] += dwhh_acc[1]
-    dbih_ref[0] += dbih_acc[0]
-    dbih_ref[1] += dbih_acc[1]
-    dbhh_ref[0] += dbhh_acc[0]
-    dbhh_ref[1] += dbhh_acc[1]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("b_tile", "compute_dtype", "interpret",
-                                    "n_chains"))
-def _fwd_call_tu(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret,
-                 n_chains=1):
-    L, B, C = x_tm.shape
-    H = whh.shape[-1] // 3
-    b_tile = max(n_chains, b_tile - b_tile % n_chains)
-    if B % b_tile != 0:
-        pad = b_tile - B % b_tile
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, pad), (0, 0)))
-    Bp = x_tm.shape[1]
-    store = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
-    kernel = functools.partial(_fwd_kernel_tu, H=H, L=L,
-                               compute_dtype=compute_dtype, n_chains=n_chains)
-
-    def wspec(shp):
-        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
-                            memory_space=pltpu.VMEM)
-
-    out_f, out_b, gates_f, gates_b = pl.pallas_call(
-        kernel,
-        grid=(Bp // b_tile,),
-        in_specs=[pl.BlockSpec((L, b_tile, C), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-                  wspec((2, C, 3 * H)), wspec((2, 3 * H)),
-                  wspec((2, H, 3 * H)), wspec((2, 3 * H))],
-        out_specs=tuple(
-            pl.BlockSpec((L, b_tile, w), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
-            for w in (H, H, 4 * H, 4 * H)),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((L, Bp, w), store)
-            for w in (H, H, 4 * H, 4 * H)),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(x_tm, wih, bih, whh, bhh)
-    return out_f[:, :B], out_b[:, :B], gates_f[:, :B], gates_b[:, :B]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("b_tile", "compute_dtype", "interpret",
-                                    "n_chains"))
-def _bwd_call_tu(dout_f, dout_b, gates_f, gates_b, out_f, out_b, x_tm, wih,
-                 whh, b_tile, compute_dtype, interpret, n_chains=1):
-    L, B, C = x_tm.shape
-    H = whh.shape[-1] // 3
-    b_tile = max(n_chains, b_tile - b_tile % n_chains)
-
-    def padb(a):
-        if B % b_tile == 0:
-            return a
-        pad = b_tile - B % b_tile
-        return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
-
-    dout_f, dout_b = padb(dout_f), padb(dout_b)
-    gates_f, gates_b = padb(gates_f), padb(gates_b)
-    out_f, out_b = padb(out_f), padb(out_b)
-    x_tm = padb(x_tm)
-    Bp = x_tm.shape[1]
-    kernel = functools.partial(_bwd_kernel_tu, H=H, L=L,
-                               compute_dtype=compute_dtype, n_chains=n_chains)
-
-    def bspec(w):
-        return pl.BlockSpec((L, b_tile, w), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    def wspec(shp):
-        return pl.BlockSpec(shp, lambda i, _n=len(shp): (0,) * _n,
-                            memory_space=pltpu.VMEM)
-
-    dx_f, dx_b, dwih, dbih, dwhh, dbhh = pl.pallas_call(
-        kernel,
-        grid=(Bp // b_tile,),
-        in_specs=[bspec(H), bspec(H), bspec(4 * H), bspec(4 * H),
-                  bspec(H), bspec(H), bspec(C),
-                  wspec((2, C, 3 * H)), wspec((2, H, 3 * H))],
-        out_specs=(
-            bspec(C), bspec(C),
-            wspec((2, C, 3 * H)), wspec((2, 3 * H)),
-            wspec((2, H, 3 * H)), wspec((2, 3 * H)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, Bp, C), jnp.float32),
-            jax.ShapeDtypeStruct((L, Bp, C), jnp.float32),
-            jax.ShapeDtypeStruct((2, C, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((2, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((2, H, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((2, 3 * H), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(dout_f, dout_b, gates_f, gates_b, out_f, out_b, x_tm, wih, whh)
-    return dx_f[:, :B], dx_b[:, :B], dwih, dbih, dwhh, dbhh
-
-
 def _specs_fwd(L, C, H, b_tile):
     return dict(
         in_specs=[
@@ -728,40 +499,26 @@ def _bwd_lstm_call(dout_f, dout_b, gates_f, gates_b, c_f, c_b, out_f, out_b,
 # ---------------------------------------------------------------------------------------
 
 
-def _gru_fwd_dispatch(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype,
-                      interpret):
-    """Route to the time-unrolled kernels when enabled (same outputs)."""
-    if GRU_TIME_UNROLLED:
-        return _fwd_call_tu(x_tm, wih, bih, whh, bhh,
-                            min(VJP_TU_B_TILE, b_tile), compute_dtype,
-                            interpret, VJP_TU_CHAINS)
-    return _fwd_call(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype,
-                     interpret)
-
-
-def _gru_bwd_dispatch(dout_f, dout_b, gates_f, gates_b, out_f, out_b, x_tm,
-                      wih, whh, b_tile, compute_dtype, interpret):
-    if GRU_TIME_UNROLLED:
-        return _bwd_call_tu(dout_f, dout_b, gates_f, gates_b, out_f, out_b,
-                            x_tm, wih, whh, min(VJP_TU_B_TILE, b_tile),
-                            compute_dtype, interpret, VJP_TU_CHAINS)
-    return _bwd_call(dout_f, dout_b, gates_f, gates_b, out_f, out_b, x_tm,
-                     wih, whh, b_tile, compute_dtype, interpret)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_bigru_layer_tm(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype,
                          interpret):
     """Differentiable fused layer: x_tm (L, B, C) -> (L, B, 2H) f32 (bwd half in
-    direction-local reversed time; caller un-flips)."""
-    out_f, out_b, _gf, _gb = _gru_fwd_dispatch(x_tm, wih, bih, whh, bhh,
-                                               b_tile, compute_dtype, interpret)
+    direction-local reversed time; caller un-flips).
+
+    A time-unrolled kernel variant (all L steps in one kernel body, n_chains
+    interleaved recurrences, register-accumulated weight grads) was built and
+    swept on-chip (2026-08-20, ops_experiments/captures/r4/vjp_tu.log): best
+    92.4k samples/s vs 94.7k for these per-timestep kernels at the production
+    shape (B=2048, k=16 fused steps); larger tiles/chain counts failed TPU
+    compilation. It lost, so it was removed (PERF.md §1)."""
+    out_f, out_b, _gf, _gb = _fwd_call(x_tm, wih, bih, whh, bhh,
+                                       b_tile, compute_dtype, interpret)
     return jnp.concatenate([out_f.astype(jnp.float32),
                             out_b.astype(jnp.float32)], axis=-1)
 
 
 def _layer_fwd(x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret):
-    out_f, out_b, gates_f, gates_b = _gru_fwd_dispatch(
+    out_f, out_b, gates_f, gates_b = _fwd_call(
         x_tm, wih, bih, whh, bhh, b_tile, compute_dtype, interpret)
     out = jnp.concatenate([out_f.astype(jnp.float32),
                            out_b.astype(jnp.float32)], axis=-1)
@@ -773,7 +530,7 @@ def _layer_bwd(b_tile, compute_dtype, interpret, res, g):
     H = whh.shape[-1] // 3
     dout_f = g[..., :H].astype(out_f.dtype)
     dout_b = g[..., H:].astype(out_b.dtype)
-    dx_f, dx_b, dwih, dbih, dwhh, dbhh = _gru_bwd_dispatch(
+    dx_f, dx_b, dwih, dbih, dwhh, dbhh = _bwd_call(
         dout_f, dout_b, gates_f, gates_b, out_f, out_b, x_tm, wih, whh,
         b_tile, compute_dtype, interpret)
     dx = dx_f + jnp.flip(dx_b, axis=0)

@@ -144,42 +144,81 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     # streaming pipeline (measured: 67k sites/s e2e vs 461k forward-only).
     # Pack all channels of one site into a contiguous byte row -> a single
     # (B, row_bytes) uint8 put that still shards on 'data'; the jit unpacks
-    # with static column slices + bitcasts (exact, zero-copy on device).
-    _fields = [("kmer", np.int8, L), ("kpass", np.float32, 1),
-               ("ipd_means", kin_dtype, L), ("pw_means", kin_dtype, L)]
+    # with static column slices + bitcasts/bit-ops (exact, on-device).
+    #
+    # Wire kinds (the streamed fused path is wire-bandwidth-bound, so every
+    # byte of the row counts — PERF.md §3):
+    #   raw   — channel bytes as-is (dtype per field)
+    #   kmer4 — two 4-bit base codes per byte (codes are 0..4, utils/constants
+    #           BYTE2CODE — EXACT; 21 B -> 11 B per strand)
+    #   u16   — round+clip to uint16. Quant path only: npass is an integer BAM
+    #           tag (features/extract.py:190-191) so this is exact in
+    #           production; the no-quant path keeps fp32 so synthetic
+    #           fractional kpass stays bit-identical.
+    _KM4 = (L + 1) // 2
+    kin_dtype = np.dtype(kin_dtype)
+    _fields = [("kmer", "kmer4", np.dtype(np.uint8), _KM4),
+               ("kpass", "u16" if quant else "raw",
+                np.dtype(np.uint16 if quant else np.float32),
+                2 if quant else 4),
+               ("ipd_means", "raw", kin_dtype, kin_dtype.itemsize * L),
+               ("pw_means", "raw", kin_dtype, kin_dtype.itemsize * L)]
     if need_stds:
-        _fields += [("ipd_stds", np.float32, L), ("pw_stds", np.float32, L)]
+        _fields += [("ipd_stds", "raw", np.dtype(np.float32), 4 * L),
+                    ("pw_stds", "raw", np.dtype(np.float32), 4 * L)]
     if need_sn:
-        _fields += [("sns", np.float32, 4)]
+        _fields += [("sns", "raw", np.dtype(np.float32), 16)]
     if need_map:
-        _fields += [("maps", np.float32, L)]
-    _fields = [(k + s, np.dtype(dt), n) for s in ("", "2") for k, dt, n in _fields]
+        _fields += [("maps", "raw", np.dtype(np.float32), 4 * L)]
+    _fields = [(k + s, kind, dt, nb)
+               for s in ("", "2") for k, kind, dt, nb in _fields]
     _offsets, _row_bytes = {}, 0
-    for k, dt, n in _fields:
+    for k, _kind, _dt, nb in _fields:
         _offsets[k] = _row_bytes
-        _row_bytes += dt.itemsize * n
+        _row_bytes += nb
 
     def _pack(compact: dict) -> np.ndarray:
         B = compact["kmer"].shape[0]
         buf = np.empty((B, _row_bytes), np.uint8)
-        for k, dt, n in _fields:
-            v = np.ascontiguousarray(compact[k].astype(dt, copy=False))
+        for k, kind, dt, nb in _fields:
             o = _offsets[k]
-            buf[:, o:o + dt.itemsize * n] = v.view(np.uint8).reshape(B, -1)
+            if kind == "kmer4":
+                u = compact[k].astype(np.uint8)
+                if u.shape[1] % 2:
+                    u = np.concatenate(
+                        [u, np.zeros((B, 1), np.uint8)], axis=1)
+                buf[:, o:o + nb] = u[:, 0::2] | (u[:, 1::2] << 4)
+            elif kind == "u16":
+                v = np.clip(np.rint(np.asarray(compact[k], np.float64)),
+                            0, 65535).astype("<u2")
+                buf[:, o:o + nb] = v[:, None].view(np.uint8)
+            else:
+                v = np.ascontiguousarray(compact[k].astype(dt, copy=False))
+                buf[:, o:o + nb] = v.view(np.uint8).reshape(B, -1)
         return buf
 
     def _unpack(buf):
         B = buf.shape[0]
         out = {}
-        for k, dt, n in _fields:
+        for k, kind, dt, nb in _fields:
             o = _offsets[k]
-            raw = buf[:, o:o + dt.itemsize * n]
-            if dt.itemsize == 1:
-                v = jax.lax.bitcast_convert_type(raw, jnp.int8)
+            raw = buf[:, o:o + nb]
+            if kind == "kmer4":
+                lo = raw & 0xF
+                hi = raw >> 4
+                km = jnp.stack([lo, hi], axis=-1).reshape(B, 2 * nb)[:, :L]
+                out[k] = km.astype(jnp.int8)
+            elif kind == "u16":
+                v = jax.lax.bitcast_convert_type(
+                    raw.reshape(B, 1, 2), jnp.uint16)
+                out[k] = v[:, 0]
+            elif dt.itemsize == 1:
+                out[k] = jax.lax.bitcast_convert_type(raw, jnp.int8)
             else:
+                n = nb // dt.itemsize
                 v = jax.lax.bitcast_convert_type(
                     raw.reshape(B, n, dt.itemsize), jnp.dtype(dt))
-            out[k] = v[:, 0] if n == 1 else v
+                out[k] = v[:, 0] if n == 1 else v
         return out
 
     def _predict_packed_impl(packed):
@@ -209,10 +248,9 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
         _, probs = jax.lax.scan(body, jnp.int32(0), mega)
         return probs
 
-    def dispatch_many(feats_list):
-        """Fuse k same-shape batches into one device call; returns a device
-        array future of shape (k, B, C). All batches must be padded to the
-        same fixed batch size (callers already pad to pad_n)."""
+    def _pack_group(feats_list) -> dict:
+        """Host-side stage: compact + pack k batches into one (k, B, row)
+        megabatch dict. Pure numpy — no device traffic."""
         packs = []
         for f in feats_list:
             compact = _compact(f)
@@ -221,14 +259,33 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
                 if k in compact:
                     p[k] = compact[k]
             packs.append(p)
-        mega = {k: np.stack([p[k] for p in packs]) for k in packs[0]}
+        return {k: np.stack([p[k] for p in packs]) for k in packs[0]}
+
+    def _stage_and_step(mega: dict):
+        """Wire stage: ONE device_put of the megabatch + enqueue the fused
+        step. Runs on the dedicated put thread so consecutive groups' puts
+        go back-to-back on the wire (never interleaved, never waiting on
+        host packing) while the device computes the previous group."""
         staged = {k: jax.device_put(v, mega_sharding) for k, v in mega.items()}
         return _predict_mega(staged)
 
+    def dispatch_many(feats_list):
+        """Fuse k same-shape batches into one device call; returns a device
+        array future of shape (k, B, C). All batches must be padded to the
+        same fixed batch size (callers already pad to pad_n)."""
+        return _stage_and_step(_pack_group(feats_list))
+
     def dispatch_many_async(feats_list):
+        """Two-stage pipelined fused dispatch (VERDICT r3 next #3): host
+        packing runs on the pack pool, the device_put + dispatch runs on a
+        single FIFO put thread. Group k+1's pack overlaps group k's put, and
+        group k+1's put overlaps group k's device compute — the put stream
+        stays continuous at the wire rate, which is what bounds streamed E2E
+        through a remote-attached device (PERF.md §3)."""
         if _pool is None:
             return dispatch_many(feats_list)
-        return _pool.submit(dispatch_many, feats_list)
+        pack_fut = _pool.submit(_pack_group, feats_list)
+        return _put_pool.submit(lambda: _stage_and_step(pack_fut.result()))
 
     def dispatch(feats: dict):
         compact = _compact(feats)
@@ -248,6 +305,12 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     _pool = (ThreadPoolExecutor(max_workers=dispatch_workers,
                                 thread_name_prefix="ccs-dispatch")
              if dispatch_workers > 0 else None)
+    # single-worker put stage: keeps megabatch device_puts strictly FIFO and
+    # back-to-back on the wire (two interleaved puts each take 2x as long
+    # through a serializing link — same aggregate, worse latency jitter)
+    _put_pool = (ThreadPoolExecutor(max_workers=1,
+                                    thread_name_prefix="ccs-put")
+                 if dispatch_workers > 0 else None)
 
     def dispatch_async(feats: dict):
         """Like dispatch() but returns a concurrent Future; pack + device_put
@@ -271,7 +334,14 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     predict.dispatch_many = dispatch_many
     predict.dispatch_many_async = dispatch_many_async
     predict.collect = collect
-    predict.close = (_pool.shutdown if _pool is not None else (lambda: None))
+
+    def _close():
+        if _pool is not None:
+            _pool.shutdown()
+        if _put_pool is not None:
+            _put_pool.shutdown()
+
+    predict.close = _close
     # internals for benchmarking/attribution (bench.py): stage inputs on device
     # once, then drive the jitted step directly (no per-call host->device copy)
     predict.compact = _compact

@@ -44,9 +44,9 @@ def test_packed_with_optional_channels():
     packed = np.asarray(predict.collect(predict.dispatch(feats)))
     unpacked = np.asarray(predict.collect(predict.dispatch_unpacked(feats)))
     np.testing.assert_array_equal(packed, unpacked)
-    # all-channel fp32 row: 2 strands x (21 int8 + 4B kpass + 4*21*4B kinetics
-    # + 4*4B sn + 21*4B map)
-    assert predict.row_bytes == 2 * (21 + 4 + 4 * 21 * 4 + 16 + 84)
+    # all-channel fp32 row: 2 strands x (11B 4-bit-packed kmer + 4B kpass
+    # + 4*21*4B kinetics + 4*4B sn + 21*4B map)
+    assert predict.row_bytes == 2 * (11 + 4 + 4 * 21 * 4 + 16 + 84)
 
 
 def test_dispatch_many_equals_per_batch():
@@ -82,15 +82,18 @@ def test_dispatch_many_with_h0():
 
 def test_int8_kinetics_transfer_row_shrink_and_drift():
     """Opt-in int8 kinetics transfer (mesh.py kinetics_quant): rows shrink
-    218 -> 134 bytes/site and prob drift vs the fp32 transfer stays within a
-    few ML bytes on standardized (z-score-scale) inputs."""
+    198 -> 110 bytes/site (4-bit kmer + u16 npass + int8 kinetics) and prob
+    drift vs the fp32 transfer stays within a few ML bytes on standardized
+    (z-score-scale) inputs."""
     cfg = AttRNNConfig(dropout_rate=0.0)
     params = init_attrnn(1234, cfg)
     pf = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
                          transfer_dtype=np.dtype(ml_dtypes.bfloat16))
     pq = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
                          kinetics_quant="int8")
-    assert pf.row_bytes == 218 and pq.row_bytes == 134  # production bf16 vs q8
+    # production bf16 row: 2x(11 kmer4 + 4 kpass + 42+42 bf16 kinetics);
+    # quant row: 2x(11 kmer4 + 2 u16 npass + 21+21 int8 kinetics)
+    assert pf.row_bytes == 198 and pq.row_bytes == 110
     feats = _feats(256)
     ref = np.asarray(pf(feats))
     got = np.asarray(pq(feats))
@@ -144,3 +147,39 @@ def test_packed_with_h0_replay():
     # h0 must actually change the result (guards against silently dropping it)
     nz = np.asarray(predict.collect(predict.dispatch(_feats(16))))
     assert not np.array_equal(packed, nz)
+
+
+def test_pipelined_async_dispatch_order_and_equality():
+    """dispatch_many_async is a two-stage pipeline (pack pool -> single FIFO
+    put thread, mesh.py); results must stay in order and bit-equal to the
+    synchronous dispatch_many across several in-flight groups."""
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(21, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    groups = [[_feats(32, seed=4 * g + j) for j in range(4)] for g in range(3)]
+    ref = [np.asarray(predict.collect(predict.dispatch_many(g)))
+           for g in groups]
+    futs = [predict.dispatch_many_async(g) for g in groups]  # 3 in flight
+    for g, fut in enumerate(futs):
+        np.testing.assert_array_equal(
+            np.asarray(predict.collect(fut)), ref[g])
+    predict.close()
+
+
+def test_u16_npass_wire_exact_for_integer_passes():
+    """The quant path ships npass as uint16 (exact for the integer 'fn'/'rn'
+    BAM tags, features/extract.py:190); probs must be bit-identical between
+    npass sent as fp32 (no-quant row) and as u16 (quant row) when kinetics
+    quantization itself is bypassed by zero kinetics."""
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(9, cfg)
+    feats = _feats(16)
+    for s in ("", "2"):  # zero kinetics: int8-quant of 0.0 is exact
+        feats["ipd_means" + s][:] = 0.0
+        feats["pw_means" + s][:] = 0.0
+        feats["kpass" + s][:] = 60001.0  # extreme integer pass count
+    pf = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    pq = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
+                         kinetics_quant="int8")
+    np.testing.assert_array_equal(np.asarray(pf(feats)),
+                                  np.asarray(pq(feats)))

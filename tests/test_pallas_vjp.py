@@ -122,40 +122,3 @@ def test_lstm_gradients_match_scan_multilayer():
                     jax.tree_util.tree_leaves(g_ref[1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
                                    rtol=1e-3)
-
-
-def test_time_unrolled_gradients_match_scan():
-    """GRU_TIME_UNROLLED kernels (one grid step per tile, L unrolled, in-kernel
-    grad accumulation, 2*n_chains interleaved recurrences): forward AND
-    gradients must match the scan path, including batch padding and multiple
-    batch tiles."""
-    import ccsmeth_tpu.ops.bigru_pallas_vjp as vjp_mod
-
-    rng = np.random.RandomState(7)
-    B, L, C, H = 11, 9, 6, 8  # pads 11 -> 12 at b_tile=4 (3 tiles)
-    layers = init_rnn_params(rng, C, H, 2, "gru")
-    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32))
-    g_ref = jax.grad(lambda x_, ls: _loss_scan(ls, x_, H), argnums=(0, 1))(
-        x, layers)
-    old = (vjp_mod.GRU_TIME_UNROLLED, vjp_mod.VJP_TU_B_TILE,
-           vjp_mod.VJP_TU_CHAINS)
-    vjp_mod.GRU_TIME_UNROLLED, vjp_mod.VJP_TU_B_TILE, vjp_mod.VJP_TU_CHAINS = \
-        True, 4, 2
-    try:
-        out_ref, _ = birnn_apply(
-            layers, x, jnp.zeros((4, B, H), jnp.float32), None, "gru")
-        out_tu, _ = birnn_apply_pallas_trainable(layers, x, b_tile=8,
-                                                 interpret=True)
-        np.testing.assert_allclose(np.asarray(out_tu), np.asarray(out_ref),
-                                   atol=3e-5, rtol=1e-5)
-        g_tu = jax.grad(lambda x_, ls: _loss_pallas(ls, x_, H),
-                        argnums=(0, 1))(x, layers)
-    finally:
-        (vjp_mod.GRU_TIME_UNROLLED, vjp_mod.VJP_TU_B_TILE,
-         vjp_mod.VJP_TU_CHAINS) = old
-    np.testing.assert_allclose(np.asarray(g_tu[0]), np.asarray(g_ref[0]),
-                               atol=1e-4, rtol=1e-3)
-    for a, b in zip(jax.tree_util.tree_leaves(g_tu[1]),
-                    jax.tree_util.tree_leaves(g_ref[1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
-                                   rtol=2e-3)
