@@ -81,6 +81,121 @@ def make_synth_bam(path: str, n_reads: int = 20, read_len: int = 400, seed: int 
     return refseq, header.text
 
 
+def cpg_sites(refseq: str) -> np.ndarray:
+    """Forward-strand C positions of every CpG dinucleotide in ``refseq``."""
+    arr = np.frombuffer(refseq.encode("ascii"), dtype=np.uint8)
+    return np.nonzero((arr[:-1] == ord("C")) & (arr[1:] == ord("G")))[0]
+
+
+def plant_truth(refseq: str, rng: np.random.RandomState,
+                levels=(0.0, 0.25, 0.5, 0.75, 1.0)) -> dict[int, float]:
+    """Assign each reference CpG a ground-truth methylation fraction drawn
+    uniformly from ``levels`` — the planted profile an end-to-end accuracy
+    test recovers (stands in for the reference demo's BS-seq truth bed,
+    /root/reference/demo/hg002_bsseq_chr20_demo.bed, absent from the repo
+    snapshot)."""
+    sites = cpg_sites(refseq)
+    return {int(p): float(levels[rng.randint(len(levels))]) for p in sites}
+
+
+def write_truth_bed(path: str, truth: dict[int, float], ref_name: str = "chrS",
+                    coverage: int = 50) -> None:
+    """Planted profile as a bedMethyl file (the format BS-seq truth arrives in;
+    scripts/correlation_with_bs.py read_methylbed consumes cols 10/11 as
+    coverage / percent-methylated)."""
+    with open(path, "w") as f:
+        for pos in sorted(truth):
+            f.write("{c}\t{p}\t{e}\t.\t{cov}\t+\t{p}\t{e}\t0,0,0\t{cov}\t{r}\n"
+                    .format(c=ref_name, p=pos, e=pos + 1, cov=coverage,
+                            r=int(round(truth[pos] * 100))))
+
+
+def make_methylated_bam(path: str, refseq: str, truth: dict[int, float],
+                        n_reads: int = 60, read_len: int = 300, seed: int = 0,
+                        ref_name: str = "chrS",
+                        base_code_mu: float = 30.0, base_code_sd: float = 6.0,
+                        meth_code_mu: float = 88.0, meth_code_sd: float = 5.0,
+                        ) -> dict[tuple[str, int], int]:
+    """Aligned synthetic HiFi BAM whose IPD kinetics carry a planted
+    5mCpG signal: at every CpG of a read, methylation status is drawn per
+    molecule from ``truth[site]`` and, when methylated, the C position's IPD
+    code is elevated on BOTH strands (fi along the forward read at the C,
+    ri along the reverse complement at the complementary C) — the kinetic
+    slowdown `ccs --hifi-kinetics` encodes and the models learn from
+    (reference semantics: extract_features.py fi/ri windows around the
+    motif hit and its reverse-complement position).
+
+    Reads are exact reference substrings, half reverse-aligned (flag 16,
+    stored seq = revcomp of the molecule's forward sequence), so every CpG in
+    a read maps exactly to one reference CpG in ``truth``.
+
+    Returns the per-molecule draws as {(qname, forward-strand site): 0|1} —
+    the read-level ground truth (join key for an extract TSV row:
+    site = pos for '+' rows, pos - 1 for '-' rows).
+    """
+    rng = np.random.RandomState(seed)
+    header = BamHeader(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:{}\tLN:{}\n".format(
+            ref_name, len(refseq)),
+        [(ref_name, len(refseq))],
+    )
+    ref_len = len(refseq)
+    starts = np.sort(rng.randint(0, ref_len - read_len, size=n_reads))
+
+    def kin(n):
+        return np.clip(rng.normal(base_code_mu, base_code_sd, size=n),
+                       1, 63).astype(np.uint8)
+
+    calls: dict[tuple[str, int], int] = {}
+    with BamWriter(path, header) as w:
+        for i, s in enumerate(starts):
+            s = int(s)
+            sub = refseq[s:s + read_len]
+            is_rev = bool(i % 2)
+            qname = "m{}/{}/ccs".format(seed, i)
+            # the molecule's forward-orientation sequence (what fi/fp run
+            # along; = revcomp of the stored seq for reverse alignments)
+            fwd = complement_seq(sub) if is_rev else sub
+            L = len(fwd)
+            fi, ri = kin(L), kin(L)
+            fp_, rp_ = kin(L), kin(L)
+            fb = np.frombuffer(fwd.encode("ascii"), dtype=np.uint8)
+            cg_j = np.nonzero((fb[:-1] == ord("C")) & (fb[1:] == ord("G")))[0]
+            for j in cg_j:
+                j = int(j)
+                # reference forward-strand C position of this CpG
+                site = s + (L - 2 - j) if is_rev else s + j
+                frac = truth.get(site)
+                if frac is None:
+                    continue
+                meth = int(rng.rand() < frac)
+                calls[(qname, site)] = meth
+                if not meth:
+                    continue
+                code = np.clip(rng.normal(meth_code_mu, meth_code_sd),
+                               64, 120)
+                fi[j] = np.uint8(code)  # forward-strand C
+                ri[L - 2 - j] = np.uint8(code)  # complementary C (rc coords)
+            stored = complement_seq(fwd) if is_rev else sub
+            rec = BamRecord(
+                qname=qname,
+                flag=16 if is_rev else 0, ref_id=0, pos=s, mapq=60,
+                cigar=[(0, L)], seq=stored,
+                qual=np.full(L, 40, dtype=np.uint8),
+            )
+            rec.tags = [
+                ("fi", "BC", fi), ("ri", "BC", ri),
+                ("fp", "BC", fp_), ("rp", "BC", rp_),
+                ("fn", "i", int(rng.randint(8, 20))),
+                ("rn", "i", int(rng.randint(8, 20))),
+                ("sn", "Bf", rng.uniform(2, 12, size=4).astype(np.float32)),
+                ("np", "i", int(rng.randint(8, 20))),
+                ("rq", "f", 0.999),
+            ]
+            w.write(rec)
+    return calls
+
+
 def write_fasta(path: str, contigs: dict[str, str], width: int = 60) -> None:
     with open(path, "w") as f:
         for name, seq in contigs.items():
