@@ -91,50 +91,107 @@ class _RefIndex:
 
 
 def build_index(bam_path: str, bai_path: str | None = None,
-                span_blocks: int = 4096) -> str:
+                span_bytes: int = 8 << 20) -> str:
     """Linear-scan the BAM, emit .bai. Requires coordinate-sorted input.
 
-    Streams the file in spans of ``span_blocks`` BGZF blocks (~256MB uncompressed)
-    so peak memory stays bounded for multi-GB BAMs; the native codec parallel-
-    decompresses each span.
+    TRUE streaming build (the htslib ``samtools index`` behavior being
+    replaced): compressed bytes are read ``span_bytes`` at a time, framed
+    into complete BGZF blocks, parallel-decompressed by the native codec,
+    and both the decompressed window and the block-offset tables are
+    trimmed as records are consumed — peak memory is ~a few spans no
+    matter the BAM size (gated by
+    tests/test_bai.py::test_build_index_streams_bounded_memory).
     """
+    import bisect
+
     if bai_path is None:
         bai_path = bam_path + ".bai"
-    with open(bam_path, "rb") as f:
-        raw = f.read()
-    blocks = scan_blocks(raw)
-    coffsets = np.array([b[0] for b in blocks], dtype=np.int64)
-    cum_u = np.zeros(len(blocks) + 1, dtype=np.int64)
-    cum_u[1:] = np.cumsum([b[2] for b in blocks])
+
+    from .native import decompress_bgzf_bytes, native_available
+
+    use_native = native_available()
+    fh = open(bam_path, "rb")
+    tail = b""         # partial compressed block carried between spans
+    csize_done = 0     # absolute compressed offset of tail[0]
+    coffsets: list[int] = []  # per retained block: absolute compressed offset
+    cum_u: list[int] = []     # per retained block: absolute uncompressed start
+    u_total = 0        # uncompressed bytes decoded so far
+    eof_c = [None]     # total compressed size, known at stream end
+
+    def next_span() -> bytes | None:
+        """Decompress the next batch of complete blocks, appending their
+        offsets to the (windowed) block tables."""
+        nonlocal tail, csize_done, u_total
+        while True:
+            chunk = tail + fh.read(span_bytes)
+            tail = b""
+            if not chunk:
+                eof_c[0] = csize_done
+                return None
+            off = 0
+            n = len(chunk)
+            new_blocks = []
+            while off + 18 <= n:
+                if chunk[off:off + 2] != b"\x1f\x8b":
+                    raise ValueError("bad BGZF magic at {}".format(
+                        csize_done + off))
+                (xlen,) = struct.unpack_from("<H", chunk, off + 10)
+                if off + 12 + xlen > n:
+                    break
+                bsize = None
+                p_ = off + 12
+                end_ = p_ + xlen
+                while p_ + 4 <= end_:
+                    if chunk[p_] == 66 and chunk[p_ + 1] == 67:
+                        (bs,) = struct.unpack_from("<H", chunk, p_ + 4)
+                        bsize = bs + 1
+                    p_ += 4 + struct.unpack_from("<H", chunk, p_ + 2)[0]
+                if bsize is None:
+                    raise ValueError("BGZF BC subfield missing")
+                if off + bsize > n:
+                    break
+                (isize,) = struct.unpack_from("<I", chunk, off + bsize - 4)
+                new_blocks.append((csize_done + off, isize))
+                off += bsize
+            if off == 0:  # span smaller than one block: grow it
+                more = fh.read(span_bytes)
+                if not more:
+                    eof_c[0] = csize_done + len(chunk)
+                    return None
+                tail = chunk + more
+                continue
+            span = chunk[:off]
+            tail = chunk[off:]
+            csize_done += off
+            data = decompress_bgzf_bytes(span) if use_native else None
+            if data is None:
+                data = b""
+                doff = 0
+                while doff < len(span):
+                    one, doff = _decompress_one(span, doff)
+                    data += one
+            for coff, isz in new_blocks:
+                coffsets.append(coff)
+                cum_u.append(u_total)
+                u_total += isz
+            if len(data) == 0:  # EOF-marker-only span
+                continue
+            return data
 
     def voffset(u: int) -> int:
-        i = int(np.searchsorted(cum_u, u, side="right")) - 1
-        if i >= len(coffsets):  # EOF position
-            return (int(raw.__len__()) << 16)
-        return (int(coffsets[i]) << 16) | int(u - cum_u[i])
+        i = bisect.bisect_right(cum_u, u) - 1
+        if i < 0 or (i == len(cum_u) - 1 and u >= u_total and u > cum_u[i]):
+            # at/after the last decoded byte: EOF virtual offset
+            return (eof_c[0] if eof_c[0] is not None else csize_done) << 16
+        return (coffsets[i] << 16) | (u - cum_u[i])
 
-    from .native import decompress_bgzf_bytes
-
-    def span_iter():
-        """Yield decompressed spans covering the whole stream in order."""
-        for bs in range(0, len(blocks), span_blocks):
-            be = min(bs + span_blocks, len(blocks))
-            start = blocks[bs][0]
-            end = blocks[be - 1][0] + blocks[be - 1][1]
-            data = decompress_bgzf_bytes(raw[start:end])
-            if data is None:
-                data = b"".join(_decompress_one(raw, b[0])[0]
-                                for b in blocks[bs:be])
-            yield data
-
-    spans = span_iter()
-    data = next(spans, b"")
+    data = next_span() or b""
 
     def ensure(n_needed: int) -> bool:
         """Extend `data` (trimmed at `base`) until it holds n_needed bytes past p."""
         nonlocal data
         while len(data) < n_needed:
-            nxt = next(spans, None)
+            nxt = next_span()
             if nxt is None:
                 return False
             data = data + nxt
@@ -162,11 +219,16 @@ def build_index(bam_path: str, bai_path: str | None = None,
     last_rid = -2
     _last_pos = -1
     while True:
-        # trim consumed prefix to keep the window bounded
-        if p > (512 << 20):
+        # trim consumed prefix (and the block tables behind it) to keep the
+        # resident window at ~span scale
+        if p > (2 << 20):
             data = data[p:]
             base += p
             p = 0
+            k = bisect.bisect_right(cum_u, base) - 1
+            if k > 0:
+                del coffsets[:k]
+                del cum_u[:k]
         if not ensure(p + 4):
             break
         (block_size,) = struct.unpack_from("<I", data, p)
@@ -186,6 +248,7 @@ def build_index(bam_path: str, bai_path: str | None = None,
             n_unmapped += 1
         p = rec_end
 
+    fh.close()
     with open(bai_path, "wb") as wf:
         wf.write(BAI_MAGIC)
         wf.write(struct.pack("<i", n_ref))

@@ -103,10 +103,19 @@ class BgzfReader(io.RawIOBase):
             self._plain = True
 
     @staticmethod
-    def _complete_prefix_len(chunk: bytes) -> int:
-        """Byte length of the whole BGZF blocks at the start of ``chunk``."""
+    def _complete_prefix_len(chunk: bytes, max_decompressed: int | None = None
+                             ) -> int:
+        """Byte length of the whole BGZF blocks at the start of ``chunk``.
+
+        ``max_decompressed`` additionally cuts the span once the blocks'
+        cumulative ISIZE (each block's uncompressed size, gzip trailer)
+        would exceed it — bounding resident memory even for pathologically
+        compressible streams (a BGZF block is <=64 KiB decompressed but can
+        be ~100 compressed bytes, so compressed-span size alone bounds
+        nothing). At least one block is always accepted."""
         off = 0
         n = len(chunk)
+        decompressed = 0
         while off + 18 <= n:
             if chunk[off : off + 2] != b"\x1f\x8b":
                 break
@@ -124,6 +133,11 @@ class BgzfReader(io.RawIOBase):
                 p += 4 + slen
             if bsize is None or off + bsize > n:
                 break
+            (isize,) = struct.unpack_from("<I", chunk, off + bsize - 4)
+            if (max_decompressed is not None and off > 0
+                    and decompressed + isize > max_decompressed):
+                break
+            decompressed += isize
             off += bsize
         return off
 
@@ -136,7 +150,11 @@ class BgzfReader(io.RawIOBase):
             if not chunk:
                 self._eof = True
                 return False
-            cut = self._complete_prefix_len(chunk)
+            # cap the span's DECOMPRESSED size at 4x its compressed size so a
+            # highly compressible stream can't blow resident memory past the
+            # documented ~4x-span bound
+            max_dec = 4 * self._span
+            cut = self._complete_prefix_len(chunk, max_dec)
             while cut == 0:
                 # span smaller than one compressed block: grow until a whole
                 # block frames (keeps small memory-capped spans streaming
@@ -145,7 +163,7 @@ class BgzfReader(io.RawIOBase):
                 if not more:
                     break
                 chunk += more
-                cut = self._complete_prefix_len(chunk)
+                cut = self._complete_prefix_len(chunk, max_dec)
             if cut == 0:
                 # can't frame a single block natively -> permanent python path
                 self._pushback(chunk)

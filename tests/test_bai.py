@@ -109,3 +109,24 @@ def test_fetch_scoped_multi_span_dedup(sorted_bam, tmp_path):
     shutil.copy(sorted_bam, nobai)
     with pytest.raises(FileNotFoundError):
         list(fetch_scoped(nobai, {"chrS": [(0, 100)]}))
+
+
+def test_build_index_streams_bounded_memory(tmp_path):
+    """build_index must stream — peak traced memory stays at ~span scale,
+    NOT O(file): the htslib `samtools index` behavior being replaced. A
+    ~17 MB-decompressed BAM indexed with 256 KiB compressed spans must peak
+    far below the file size, and the resulting index must serve fetches."""
+    import tracemalloc
+
+    p = str(tmp_path / "big.bam")
+    make_synth_bam(p, n_reads=1000, read_len=2000, ref_len=4_000_000, seed=3)
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    bai = build_index(p, span_bytes=256 << 10)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 6 << 20, "build_index peak {} bytes: not streaming".format(peak)
+    BaiIndex(bai)  # parses
+    got = [r.qname for r in fetch_region(p, "chrS", 1_000_000, 1_400_000)]
+    want = _brute_force(p, 1_000_000, 1_400_000)
+    assert got == want and len(got) > 10

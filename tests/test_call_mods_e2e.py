@@ -2,6 +2,7 @@
 bit-equal to an oracle built ONLY from reference components (reference extraction fn,
 reference torch model with zero h0, reference MM/ML encoders)."""
 
+import os
 import sys
 import types
 from types import SimpleNamespace
@@ -199,3 +200,115 @@ def test_call_mods_bam_read_sharding(tmp_path):
         call_mods_bam(CallModsConfig(model_file=ckpt, mode="denovo",
                                      num_processes=2, process_id=7),
                       bam, str(tmp_path / "bad"))
+
+
+def test_call_mods_pipeline_memory_capped_stress(tmp_path, monkeypatch):
+    """Whole-pipeline memory gate (VERDICT r3 next #6): with --sort_mem_mb
+    capped, call_mods peak memory must NOT grow with output size (the
+    htslib-scale behavior the disk-backed sort replaces, reference
+    call_modifications.py:592-607), and the capped run's sorted modbam must
+    be byte-identical to the unconstrained run's.
+
+    Method: the streaming pipeline holds a bounded working set (item-bounded
+    queues of decoded reads) that dwarfs small test files, so the gate
+    measures GROWTH — peak(capped, 4x records) - peak(capped, 1x records)
+    stays near zero while the uncapped in-RAM sort grows by ~the extra
+    output bytes. Reads are long but CG-sparse so record bytes, not feature
+    tensors, are the scaling term."""
+    import tracemalloc
+
+    from ccsmeth_tpu.bamio import BamHeader, BamWriter
+    from ccsmeth_tpu.bamio import bgzf as bgzf_mod
+    from ccsmeth_tpu.utils.simulate import make_read
+
+    # the BGZF codec's by-design resident constants (32 MB compressed per
+    # native read span, ~8 MB buffered per write span) dwarf this fixture;
+    # shrink them so the gate measures the pipeline's SCALING, not the
+    # constants (same code paths — span size never changes output bytes)
+    monkeypatch.setattr(bgzf_mod.BgzfReader, "NATIVE_SPAN", 1 << 20)
+    monkeypatch.setattr(bgzf_mod.BgzfWriter, "NATIVE_SPAN",
+                        16 * 65280)  # ~1 MB, multiple of _MAX_BLOCK_DATA
+    import functools
+
+    from ccsmeth_tpu.bamio import bai as bai_mod
+
+    monkeypatch.setattr(
+        bai_mod, "build_index",
+        functools.partial(bai_mod.build_index, span_bytes=256 << 10))
+
+    # tiny model: the default 3x256 ckpt's load/convert transient would
+    # swamp the record-stream deltas this gate measures
+    ref_models = import_reference_models()
+    torch.manual_seed(3)
+    tm = ref_models.ModelAttRNN(21, 1, 2, 0, 24, model_type="attbigru2s")
+    ckpt = str(tmp_path / "tiny.ckpt")
+    torch.save(tm.state_dict(), ckpt)
+    rng = np.random.RandomState(5)
+    read_len = 3000
+    bases = np.frombuffer(b"ATG", dtype=np.uint8)  # no C: CG only as planted
+
+    def make_bam(path, n_reads):
+        header = BamHeader(
+            "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:99999\n",
+            [("c1", 99999)])
+        with BamWriter(path, header) as w:
+            for i in range(n_reads):
+                arr = bases[rng.randint(0, 3, size=read_len)].copy()
+                for j in rng.randint(50, read_len - 50, size=6):
+                    arr[j], arr[j + 1] = ord("C"), ord("G")
+                w.write(make_read(rng, arr.tobytes().decode(),
+                                  "m0/{}/ccs".format(i), flag=0, ref_id=0,
+                                  pos=int(rng.randint(0, 90000))))
+
+    small_bam = str(tmp_path / "small.bam")
+    big_bam = str(tmp_path / "big.bam")
+    make_bam(small_bam, 500)
+    make_bam(big_bam, 2000)  # 4x the records => ~3x+ the sorted output bytes
+
+    def run(bam, tag, sort_mem_mb):
+        # holes_batch=2 keeps worst-case queue occupancy (batch_q 8 items +
+        # write_q 16 + pending 16, bounded in READS) well under the gate
+        cfg = CallModsConfig(model_file=ckpt, mode="denovo", batch_size=256,
+                             layer_rnn=1, hid_rnn=24, holes_batch=2,
+                             sort_mem_mb=sort_mem_mb)
+        tracemalloc.start()
+        tracemalloc.reset_peak()
+        out = call_mods_bam(cfg, bam, str(tmp_path / tag))
+        _cur, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return out, peak
+
+    out_s_cap, peak_s_cap = run(small_bam, "s_cap", sort_mem_mb=1)
+    out_b_cap, peak_b_cap = run(big_bam, "b_cap", sort_mem_mb=1)
+    out_b_unc, peak_b_unc = run(big_bam, "b_unc", sort_mem_mb=1 << 20)
+    with open(out_b_unc, "rb") as a, open(out_b_cap, "rb") as b:
+        assert a.read() == b.read(), "capped sort changed the output bytes"
+    # the sort buffers RAW (uncompressed) record blobs — size the gate on
+    # those, not the BGZF-compressed file
+    from ccsmeth_tpu.bamio.bam import _iter_raw_records
+    from ccsmeth_tpu.bamio.bgzf import BgzfReader
+
+    def raw_bytes(path):
+        rd = BamReader(path)
+        try:
+            return sum(len(r) for r in _iter_raw_records(rd._bgzf))
+        finally:
+            rd.close()
+
+    extra = raw_bytes(out_b_cap) - raw_bytes(out_s_cap)
+    assert extra > 4 << 20, "fixture too small ({} extra bytes)".format(extra)
+    # capped: 4x the records may not cost more than a fraction of the extra
+    # output (bounded queues + ~1 MB sort buffer; NOT the record stream)
+    grow_cap = peak_b_cap - peak_s_cap
+    assert grow_cap < extra // 2, \
+        "capped peak grew {} bytes for {} extra output bytes".format(
+            grow_cap, extra)
+    # sanity that the gate bites: the uncapped in-RAM sort holds the whole
+    # (bigger, uncompressed) record stream over the capped run's peak
+    assert peak_b_unc > peak_b_cap + extra, \
+        "uncapped run did not scale with the record stream " \
+        "(unc {} vs cap {} + extra {})".format(peak_b_unc, peak_b_cap, extra)
+    n = sum(1 for _ in BamReader(out_b_cap))
+    assert n == 2000
+    poss = [(r.ref_id, r.pos) for r in BamReader(out_b_cap)]
+    assert poss == sorted(poss)

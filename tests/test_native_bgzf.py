@@ -100,3 +100,37 @@ def test_native_bam_pipeline(tmp_path):
 
 def test_native_rejects_garbage():
     assert decompress_bgzf_bytes(b"not a bgzf stream at all") is None
+
+
+def test_native_span_decompressed_cap_pathological_ratio(tmp_path):
+    """A highly compressible stream (constant bytes: ~600x BGZF ratio) must
+    not blow the native reader's resident buffer past ~4x the compressed
+    span: the span framing cuts on cumulative ISIZE, not just compressed
+    bytes (bgzf.py _complete_prefix_len max_decompressed)."""
+    from ccsmeth_tpu.bamio.bgzf import BgzfReader, BgzfWriter
+
+    p = str(tmp_path / "zeros.bgzf")
+    payload = bytes(8 << 20)  # 8 MB of zeros -> ~15 KB compressed
+    with BgzfWriter(p, compresslevel=6) as w:
+        w.write(payload)
+    import os as _os
+
+    assert _os.path.getsize(p) < 64 << 10
+    rd = BgzfReader(p, span_bytes=4096)
+    if rd._native is None:
+        rd.close()
+        import pytest as _pytest
+
+        _pytest.skip("native codec unavailable")
+    got = bytearray()
+    max_buf = 0
+    while True:
+        chunk = rd.read(1 << 20)
+        if not chunk:
+            break
+        got += chunk
+        max_buf = max(max_buf, len(rd._buf))
+    rd.close()
+    assert bytes(got) == payload
+    # 4x compressed span + one 64 KiB block of slack
+    assert max_buf <= 4 * 4096 + (64 << 10), max_buf
