@@ -155,6 +155,36 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
         cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
         return jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
 
+    def block_mask01():
+        rb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 0) // L
+        cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
+        return (rb == cb).astype(jnp.float32)
+
+    def make_sfm(mask, mask01):
+        """Per-variant softmax over the packed (…, PL_ROWS) scores.
+
+        packmul — drop the -1e9 mask ADD pass: subtract the all-columns row
+        max (>= the valid max, so mathematically identical up to exp
+        underflow ~e^-80) and zero off-block terms by MULTIPLYING the 0/1
+        mask into the exp pass (VPU fuses mul into the exp traversal,
+        removing one full pass over the widest tensor in the kernel).
+        packed16 — softmax passes carried at compute_dtype (bf16 on the fast
+        path): halves VPU traffic for every softmax pass; the ctx dot
+        consumes w at cd anyway. Drift is gated on-chip by the sweep's
+        maxdiff column (ops_experiments/transenc_impl_sweep.py).
+        """
+        if attn_impl == "packmul":
+            def sfm(s):
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m) * mask01[None]
+                return e / jnp.sum(e, axis=-1, keepdims=True)
+            return sfm
+        if attn_impl == "packed16":
+            def sfm(s):
+                return jax.nn.softmax((s + mask[None]).astype(cd), axis=-1)
+            return sfm
+        return lambda s: jax.nn.softmax(s + mask[None], axis=-1)
+
     def ln(y, scale, bias):
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mu), axis=-1, keepdims=True)
@@ -246,6 +276,7 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
                w2_ref, b2_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                out_ref):
         mask = block_mask()
+        sfm = make_sfm(mask, block_mask01())
         x = x_ref[...].astype(jnp.float32)  # (R, D)
         for layer in range(NL):
             qkv = jnp.dot(x.astype(cd), wqkv_ref[layer].astype(cd),
@@ -292,14 +323,13 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
                 ctx = jnp.concatenate(
                     [ctx_f[h * npacks:(h + 1) * npacks] for h in range(NH)],
                     -1).reshape(R, D)
-            else:  # "packed"
+            else:  # "packed" / "packmul" / "packed16"
                 heads = []
                 for h in range(NH):
                     q = qkv_p[:, :, h * HD:(h + 1) * HD]
                     k = qkv_p[:, :, D + h * HD:D + (h + 1) * HD]
                     v = qkv_p[:, :, 2 * D + h * HD:2 * D + (h + 1) * HD]
-                    w = jax.nn.softmax(bdot(q, k, True) * inv_sqrt + mask[None],
-                                       axis=-1)
+                    w = sfm(bdot(q, k, True) * inv_sqrt)
                     heads.append(bdot(w, v, False))
                 ctx = jnp.concatenate(heads, axis=-1).reshape(R, D)
             a = jnp.dot(ctx.astype(cd), wo_ref[layer].astype(cd),
@@ -404,6 +434,12 @@ def _stacked_params(params: dict) -> dict:
     if hit is not None and hit[0] is layers:
         return hit[1]
     stacked = _stack_layer_params(layers)
+    if any(isinstance(v, jax.core.Tracer)
+           for v in jax.tree_util.tree_leaves(stacked)):
+        # inside an active trace with CONCRETE closed-over leaves (e.g. a
+        # caller jit that captures params by closure): stacking still
+        # produces tracers, which must never enter the memo (tracer leak)
+        return stacked
     _STACK_MEMO.clear()  # single entry: params objects are long-lived
     _STACK_MEMO[id(layers)] = (layers, stacked)
     return stacked
