@@ -178,8 +178,32 @@ def test_u16_npass_wire_exact_for_integer_passes():
         feats["ipd_means" + s][:] = 0.0
         feats["pw_means" + s][:] = 0.0
         feats["kpass" + s][:] = 60001.0  # extreme integer pass count
-    pf = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    # both sides on the bf16-transfer fast path (same bf16 result fetch), so
+    # equality isolates the npass WIRE encoding: fp32 kpass vs u16 kpass
+    pf = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
+                         transfer_dtype=np.dtype(ml_dtypes.bfloat16))
     pq = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
                          kinetics_quant="int8")
     np.testing.assert_array_equal(np.asarray(pf(feats)),
                                   np.asarray(pq(feats)))
+
+
+def test_pipelined_async_dispatch_propagates_pack_errors():
+    """An exception in the host pack stage (malformed feats) must surface on
+    the returned future, not kill the put thread silently — and the
+    dispatcher must keep working for subsequent good groups."""
+    import pytest
+
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(5, cfg)
+    predict = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    bad = _feats(16)
+    del bad["kmer"]  # pack stage will KeyError
+    fut = predict.dispatch_many_async([bad, _feats(16)])
+    with pytest.raises(KeyError):
+        predict.collect(fut)
+    good = [_feats(16, seed=3)] * 2
+    ref = np.asarray(predict.collect(predict.dispatch_many(good)))
+    got = np.asarray(predict.collect(predict.dispatch_many_async(good)))
+    np.testing.assert_array_equal(got, ref)
+    predict.close()
