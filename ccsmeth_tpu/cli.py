@@ -209,6 +209,7 @@ def _train_cfg(args):
         min_epoch_num=args.min_epoch_num, pos_weight=args.pos_weight,
         step_interval=args.step_interval, init_model=args.init_model,
         step_fuse=args.step_fuse, dl_offsets=args.dl_offsets,
+        train_transfer=args.train_transfer,
         save_opt_state=args.save_opt_state, resume_from=args.resume_from,
         rnn_backend=args.rnn_backend, precision=args.precision,
         tseed=args.tseed,
@@ -274,6 +275,11 @@ def _add_train_args(p):
                         "custom VJP (GRU models), default xla")
     g.add_argument("--precision", type=str, default="fp32",
                    choices=["fp32", "bf16"])
+    g.add_argument("--train_transfer", type=str, default="fp32",
+                   choices=["fp32", "bf16"],
+                   help="wire dtype of the packed train batch: bf16 halves "
+                        "the per-step host->device transfer (features round "
+                        "to ~3 decimal digits; labels/mask stay exact)")
     g.add_argument("--use_compile", type=str, default="no",
                    help="[IGNORED] everything is jit-compiled; reference-CLI "
                         "compatibility (torch.compile toggle)")

@@ -85,6 +85,9 @@ class TrainConfig:
     dl_offsets: bool = False  # out-of-core streaming loader
     rnn_backend: str = "xla"
     precision: str = "fp32"  # fp32 | bf16 (pallas matmul operand dtype)
+    # wire dtype of the packed (B, n_cols) train batch: bf16 halves the
+    # per-step host->device transfer (opt-in; fp32 default is bit-exact)
+    train_transfer: str = "fp32"  # fp32 | bf16
     # distributed (trainm parity: nodes/node_rank replaced by jax.distributed)
     dist_coordinator: str | None = None  # e.g. "10.0.0.1:1234"
     num_processes: int = 1
@@ -151,7 +154,8 @@ def _batch_layout(model_cfg) -> list[tuple[str, int]]:
     return [(k, 4 if k.startswith("sns") else L) for k in keys]
 
 
-def _pack_cols(fields, feats: dict, labels, mask) -> np.ndarray:
+def _pack_cols(fields, feats: dict, labels, mask,
+               dtype=np.float32) -> np.ndarray:
     B = np.asarray(labels).shape[0]
     cols = []
     for k, n in fields:
@@ -161,10 +165,15 @@ def _pack_cols(fields, feats: dict, labels, mask) -> np.ndarray:
         cols.append(v)
     cols.append(np.asarray(labels, np.float32).reshape(B, 1))
     cols.append(np.asarray(mask, np.float32).reshape(B, 1))
-    return np.ascontiguousarray(np.concatenate(cols, axis=1))
+    flat = np.ascontiguousarray(np.concatenate(cols, axis=1))
+    # opt-in bf16 wire rows (--train_transfer bf16): halves the per-step
+    # transfer the tunnel-bound trainm loop pays (labels/mask are 0/1 —
+    # exact in bf16; features round to ~3 decimal digits)
+    return flat if dtype == np.float32 else flat.astype(dtype)
 
 
 def _unpack_cols(flat, fields):
+    flat = flat.astype(jnp.float32)  # bf16 wire rows dequantize on device
     feats, o = {}, 0
     for k, n in fields:
         feats[k] = flat[:, o:o + n]
@@ -237,7 +246,8 @@ def _prefetch(iterator, stage, depth: int = 2):
 
 
 def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
-                    rnn_backend: str = "xla", precision: str = "fp32"):
+                    rnn_backend: str = "xla", precision: str = "fp32",
+                    transfer_dtype=np.float32):
     """Build the jitted sharded train step: (params, opt_state, feats, labels,
     valid_mask, rng) -> (params, opt_state, loss).
 
@@ -328,8 +338,8 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
     jstep.jitted = jit_dict  # AOT handle (lower/compile) for cost-model gates
     jstep.packed = jit_packed
     jstep.packed_many = jit_packed_many
-    jstep.pack_batch = lambda feats, labels, mask: _pack_cols(fields, feats,
-                                                              labels, mask)
+    jstep.pack_batch = lambda feats, labels, mask: _pack_cols(
+        fields, feats, labels, mask, transfer_dtype)
     return jstep, mesh
 
 
@@ -454,8 +464,16 @@ def train(cfg: TrainConfig) -> dict:
     mesh = data_mesh()
     n_dev = mesh.devices.size
     pad_n = -(-cfg.batch_size // n_dev) * n_dev
+    if cfg.train_transfer not in ("fp32", "bf16"):
+        raise ValueError("train_transfer must be fp32 or bf16")
+    tdt = np.float32
+    if cfg.train_transfer == "bf16":
+        import ml_dtypes
+
+        tdt = np.dtype(ml_dtypes.bfloat16)
     train_step, _ = make_train_step(model_cfg, optimizer, cfg.pos_weight, mesh,
-                                    cfg.rnn_backend, cfg.precision)
+                                    cfg.rnn_backend, cfg.precision,
+                                    transfer_dtype=tdt)
     eval_step, _ = make_eval_step(model_cfg, cfg.pos_weight, mesh)
     opt_state = optimizer.init(params)
     start_epoch = 0

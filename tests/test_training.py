@@ -386,3 +386,52 @@ def test_step_fuse_matches_single_step(tmp_path):
 
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p3)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_transfer_bf16_wire_rows(tmp_path):
+    """--train_transfer bf16 (halved per-step wire bytes): labels/mask stay
+    EXACT through the bf16 row (0/1 values), features round to bf16, and the
+    e2e trainer still learns the separable set."""
+    import ml_dtypes
+
+    from ccsmeth_tpu.training.train import _batch_layout, _pack_cols, _unpack_cols
+
+    cfg = AttRNNConfig(num_layers=1, hidden_size=16)
+    fields = _batch_layout(cfg)
+    rng = np.random.RandomState(0)
+    B, L = 8, 21
+    feats = {}
+    for s in ("", "2"):
+        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+        feats["kpass" + s] = np.full((B, L), 7.0, np.float32)
+        for k in ("ipd_means", "pw_means", "ipd_stds", "pw_stds", "maps"):
+            feats[k + s] = rng.randn(B, L).astype(np.float32)
+        feats["sns" + s] = rng.randn(B, 4).astype(np.float32)
+    labels = rng.randint(0, 2, B).astype(np.int32)
+    mask = (rng.rand(B) < 0.8).astype(np.float32)
+    flat16 = _pack_cols(fields, feats, labels, mask,
+                        dtype=np.dtype(ml_dtypes.bfloat16))
+    assert flat16.dtype == ml_dtypes.bfloat16
+    import jax.numpy as jnp
+
+    f2, l2, m2 = _unpack_cols(jnp.asarray(flat16), fields)
+    np.testing.assert_array_equal(np.asarray(l2), labels)
+    np.testing.assert_array_equal(np.asarray(m2), mask)
+    for k in feats:
+        np.testing.assert_allclose(np.asarray(f2[k]), feats[k],
+                                   rtol=8e-3, atol=8e-3)
+
+    # e2e: still learns
+    tr = str(tmp_path / "train.tsv")
+    va = str(tmp_path / "valid.tsv")
+    _write_feature_tsv(tr, n=600, seed=1)
+    _write_feature_tsv(va, n=120, seed=2)
+    cfg = TrainConfig(
+        train_file=tr, valid_file=va, model_dir=str(tmp_path / "models"),
+        model_type="attbigru2s", layer_rnn=1, hid_rnn=24, batch_size=64,
+        dropout_rate=0.1, max_epoch_num=12, min_epoch_num=4, step_interval=5,
+        lr=0.01, lr_decay=0.5, lr_decay_step=4, tseed=7,
+        train_transfer="bf16",
+    )
+    result = train(cfg)
+    assert result["best_accuracy"] > 0.9
