@@ -56,6 +56,7 @@ def main():
     epochs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     batch = int(sys.argv[5]) if len(sys.argv) > 5 else 512
     step_fuse = int(sys.argv[6]) if len(sys.argv) > 6 else None
+    train_transfer = sys.argv[7] if len(sys.argv) > 7 else "fp32"
 
     from ccsmeth_tpu.training import TrainConfig, train
 
@@ -71,7 +72,7 @@ def main():
             model_type="attbigru2s", layer_rnn=3, hid_rnn=256, batch_size=batch,
             dropout_rate=0.5, max_epoch_num=epochs, min_epoch_num=epochs,
             step_interval=32, rnn_backend=backend, precision=precision,
-            tseed=42, **kw)
+            train_transfer=train_transfer, tseed=42, **kw)
         t0 = time.time()
         result = train(cfg)
         wall = time.time() - t0
@@ -80,7 +81,7 @@ def main():
         # validation) — the number VERDICT r2 weak #3 asks for
         walls = result.get("epoch_wall_s", [])
         out = {
-            "step_fuse": cfg.step_fuse,
+            "step_fuse": cfg.step_fuse, "train_transfer": train_transfer,
             "backend": backend, "precision": precision,
             "n_train": n_train, "batch": cfg.batch_size, "epochs": epochs,
             "total_wall_s": round(wall, 1),
