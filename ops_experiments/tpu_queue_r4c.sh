@@ -15,6 +15,7 @@ run() { local name=$1 t=$2; shift 2
   echo "=== $name exit=$? end $(date +%H:%M:%S) ===" | tee -a "$LOG/queue.log"
   sleep 15
 }
+run srcembed 2400 python ops_experiments/src_embed_ablate.py 16384
 run trainm_fp32 5400 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 fp32
 run trainm_bf16 5400 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 bf16
 run e2e_a 2400 python bench.py e2e 8192
