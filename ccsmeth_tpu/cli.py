@@ -276,10 +276,13 @@ def _add_train_args(p):
     g.add_argument("--precision", type=str, default="fp32",
                    choices=["fp32", "bf16"])
     g.add_argument("--train_transfer", type=str, default="fp32",
-                   choices=["fp32", "bf16"],
-                   help="wire dtype of the packed train batch: bf16 halves "
+                   choices=["fp32", "bf16", "packed"],
+                   help="wire format of the packed train batch: bf16 halves "
                         "the per-step host->device transfer (features round "
-                        "to ~3 decimal digits; labels/mask stay exact)")
+                        "to ~3 decimal digits; labels/mask stay exact); "
+                        "packed ships quantized byte rows (~11x smaller than "
+                        "fp32 — kmer/npass/labels/mask exact, kinetics "
+                        "round to 1/32)")
     g.add_argument("--use_compile", type=str, default="no",
                    help="[IGNORED] everything is jit-compiled; reference-CLI "
                         "compatibility (torch.compile toggle)")

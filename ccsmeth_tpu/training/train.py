@@ -85,9 +85,11 @@ class TrainConfig:
     dl_offsets: bool = False  # out-of-core streaming loader
     rnn_backend: str = "xla"
     precision: str = "fp32"  # fp32 | bf16 (pallas matmul operand dtype)
-    # wire dtype of the packed (B, n_cols) train batch: bf16 halves the
-    # per-step host->device transfer (opt-in; fp32 default is bit-exact)
-    train_transfer: str = "fp32"  # fp32 | bf16
+    # wire format of the packed train batch: bf16 halves the per-step
+    # host->device transfer; packed ships quantized byte rows (~11x smaller
+    # than fp32 — kmer/npass/labels/mask exact, kinetics 1/16 granularity).
+    # Opt-in; the fp32 default is bit-exact.
+    train_transfer: str = "fp32"  # fp32 | bf16 | packed
     # distributed (trainm parity: nodes/node_rank replaced by jax.distributed)
     dist_coordinator: str | None = None  # e.g. "10.0.0.1:1234"
     num_processes: int = 1
@@ -183,6 +185,105 @@ def _unpack_cols(flat, fields):
     return feats, labels, mask
 
 
+# --- quantized byte rows (--train_transfer packed) --------------------------
+# The trainm loop through a remote-attached device is WIRE-bound: at B=512 the
+# fp32 row is 1216 B/sample and the measured wire:compute ratio is ~3.5:1
+# (BASELINE.md round-4 step-rate capture: 90.2k samples/s device ceiling vs
+# 22.7k steady-state). Shipping the same byte-row format the inference
+# dispatch uses (parallel/mesh.py _pack/_unpack) cuts the flagship row to
+# 112 B/sample: kmer 4-bit-packed (EXACT), per-read pass count one u16 scalar
+# (EXACT for integer BAM npass tags), standardized IPD/PW kinetics int8
+# round(x*16) (±7.94 range, 1/16 granularity), labels/mask u8 (EXACT).
+# Channels the model config disables (is_stds/is_sn/is_map) are dropped from
+# the wire and restored as zeros on device — the model never reads them
+# (models/attrnn.py:167-229). Opt-in: kinetics rows round to 1/32; the fp32
+# path stays the parity default.
+_QSCALE = 16.0
+
+
+def _q_fields(model_cfg) -> list[tuple[str, str, int]]:
+    """(key, kind, nbytes) wire layout of one quantized training row. Kinds:
+    kmer4 = two 4-bit base codes/byte; u16s = one uint16 scalar broadcast to
+    (B, L) on device; i8q = int8 round(x*16); bf16 = raw bfloat16 bytes;
+    u8frac = uint8 round(x*255) for [0,1] fractions (maps identity column)."""
+    L = model_cfg.seq_len
+    per = [("kmer", "kmer4", (L + 1) // 2), ("kpass", "u16s", 2),
+           ("ipd_means", "i8q", L), ("pw_means", "i8q", L)]
+    if getattr(model_cfg, "is_stds", False):
+        per += [("ipd_stds", "i8q", L), ("pw_stds", "i8q", L)]
+    if getattr(model_cfg, "is_sn", False):
+        per += [("sns", "bf16", 8)]
+    if getattr(model_cfg, "is_map", False):
+        per += [("maps", "u8frac", L)]
+    strands = ("", "2") if getattr(model_cfg, "two_strand", True) else ("",)
+    return [(k + s, kind, nb) for s in strands for k, kind, nb in per]
+
+
+def _pack_rows_q(fields, feats: dict, labels, mask) -> np.ndarray:
+    """Host-side pack of one batch into (B, row_bytes) uint8 quantized rows
+    (+1 labels byte, +1 mask byte at the end)."""
+    import ml_dtypes
+
+    B = np.asarray(labels).shape[0]
+    row = sum(nb for _k, _kind, nb in fields) + 2
+    buf = np.empty((B, row), np.uint8)
+    o = 0
+    for k, kind, nb in fields:
+        v = np.asarray(feats[k], np.float32)
+        if kind == "kmer4":
+            u = v.astype(np.uint8)
+            if u.shape[1] % 2:
+                u = np.concatenate([u, np.zeros((B, 1), np.uint8)], axis=1)
+            buf[:, o:o + nb] = u[:, 0::2] | (u[:, 1::2] << 4)
+        elif kind == "u16s":
+            s = np.clip(np.rint(v.reshape(B, -1)[:, 0]), 0, 65535).astype("<u2")
+            buf[:, o:o + nb] = s[:, None].view(np.uint8)
+        elif kind == "i8q":
+            q = np.clip(np.rint(v * _QSCALE), -128, 127).astype(np.int8)
+            buf[:, o:o + nb] = q.view(np.uint8)
+        elif kind == "bf16":
+            buf[:, o:o + nb] = np.ascontiguousarray(
+                v.astype(ml_dtypes.bfloat16)).view(np.uint8).reshape(B, -1)
+        else:  # u8frac
+            buf[:, o:o + nb] = np.clip(np.rint(v * 255.0), 0, 255).astype(np.uint8)
+        o += nb
+    buf[:, o] = np.asarray(labels).astype(np.uint8)
+    buf[:, o + 1] = np.asarray(mask).astype(np.uint8)
+    return buf
+
+
+def _unpack_rows_q(buf, fields, model_cfg):
+    """On-device unpack of quantized rows back to the full fp32 feats dict
+    (disabled channels restored as zeros), labels int32, mask fp32."""
+    L = model_cfg.seq_len
+    B = buf.shape[0]
+    feats, o = {}, 0
+    for k, kind, nb in fields:
+        raw = buf[:, o:o + nb]
+        if kind == "kmer4":
+            km = jnp.stack([raw & 0xF, raw >> 4], axis=-1).reshape(B, 2 * nb)
+            feats[k] = km[:, :L].astype(jnp.float32)
+        elif kind == "u16s":
+            s = jax.lax.bitcast_convert_type(raw.reshape(B, 1, 2), jnp.uint16)
+            feats[k] = jnp.broadcast_to(s.astype(jnp.float32), (B, L))
+        elif kind == "i8q":
+            q = jax.lax.bitcast_convert_type(raw, jnp.int8)
+            feats[k] = q.astype(jnp.float32) * (1.0 / _QSCALE)
+        elif kind == "bf16":
+            v = jax.lax.bitcast_convert_type(
+                raw.reshape(B, nb // 2, 2), jnp.bfloat16)
+            feats[k] = v.astype(jnp.float32)
+        else:  # u8frac
+            feats[k] = raw.astype(jnp.float32) * (1.0 / 255.0)
+        o += nb
+    labels = buf[:, o].astype(jnp.int32)
+    mask = buf[:, o + 1].astype(jnp.float32)
+    for k, n in _batch_layout(model_cfg):  # zeros for wire-dropped channels
+        if k not in feats:
+            feats[k] = jnp.zeros((B, n), jnp.float32)
+    return feats, labels, mask
+
+
 def _fuse_schedule(total: int, interval: int, k: int):
     """Group sizes for the fused train dispatch: runs of exactly k steps that
     never cross a logging/validation boundary (a multiple of `interval`, or
@@ -247,7 +348,7 @@ def _prefetch(iterator, stage, depth: int = 2):
 
 def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
                     rnn_backend: str = "xla", precision: str = "fp32",
-                    transfer_dtype=np.float32):
+                    transfer_dtype=np.float32, train_transfer: str = ""):
     """Build the jitted sharded train step: (params, opt_state, feats, labels,
     valid_mask, rng) -> (params, opt_state, loss).
 
@@ -300,9 +401,14 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
     # channel arrays are far too small to amortize it (same rationale as the
     # inference packed dispatch, parallel/mesh.py)
     fields = _batch_layout(model_cfg)
+    quant = train_transfer == "packed"
+    qfields = _q_fields(model_cfg) if quant else None
 
     def shard_step_packed(params, opt_state, flat, rng):
-        feats, labels, mask = _unpack_cols(flat, fields)
+        if quant:
+            feats, labels, mask = _unpack_rows_q(flat, qfields, model_cfg)
+        else:
+            feats, labels, mask = _unpack_cols(flat, fields)
         return shard_step(params, opt_state, feats, labels, mask, rng)
 
     jit_packed = jax.jit(jax.shard_map(
@@ -338,8 +444,12 @@ def make_train_step(model_cfg, optimizer, pos_weight: float, mesh=None,
     jstep.jitted = jit_dict  # AOT handle (lower/compile) for cost-model gates
     jstep.packed = jit_packed
     jstep.packed_many = jit_packed_many
-    jstep.pack_batch = lambda feats, labels, mask: _pack_cols(
-        fields, feats, labels, mask, transfer_dtype)
+    if quant:
+        jstep.pack_batch = lambda feats, labels, mask: _pack_rows_q(
+            qfields, feats, labels, mask)
+    else:
+        jstep.pack_batch = lambda feats, labels, mask: _pack_cols(
+            fields, feats, labels, mask, transfer_dtype)
     return jstep, mesh
 
 
@@ -464,8 +574,8 @@ def train(cfg: TrainConfig) -> dict:
     mesh = data_mesh()
     n_dev = mesh.devices.size
     pad_n = -(-cfg.batch_size // n_dev) * n_dev
-    if cfg.train_transfer not in ("fp32", "bf16"):
-        raise ValueError("train_transfer must be fp32 or bf16")
+    if cfg.train_transfer not in ("fp32", "bf16", "packed"):
+        raise ValueError("train_transfer must be fp32, bf16 or packed")
     tdt = np.float32
     if cfg.train_transfer == "bf16":
         import ml_dtypes
@@ -473,7 +583,8 @@ def train(cfg: TrainConfig) -> dict:
         tdt = np.dtype(ml_dtypes.bfloat16)
     train_step, _ = make_train_step(model_cfg, optimizer, cfg.pos_weight, mesh,
                                     cfg.rnn_backend, cfg.precision,
-                                    transfer_dtype=tdt)
+                                    transfer_dtype=tdt,
+                                    train_transfer=cfg.train_transfer)
     eval_step, _ = make_eval_step(model_cfg, cfg.pos_weight, mesh)
     opt_state = optimizer.init(params)
     start_epoch = 0

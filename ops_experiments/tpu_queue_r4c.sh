@@ -16,8 +16,9 @@ run() { local name=$1 t=$2; shift 2
   sleep 15
 }
 run srcembed 2400 python ops_experiments/src_embed_ablate.py 16384
-run trainm_fp32 5400 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 fp32
-run trainm_bf16 5400 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 bf16
+run trainm_fp32 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 fp32
+run trainm_bf16 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 bf16
+run trainm_packed 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 3 512 8 packed
 run e2e_a 2400 python bench.py e2e 8192
 run full  5400 python bench.py
 echo "QUEUE DONE" | tee -a "$LOG/queue.log"

@@ -435,3 +435,78 @@ def test_train_transfer_bf16_wire_rows(tmp_path):
     )
     result = train(cfg)
     assert result["best_accuracy"] > 0.9
+
+
+def test_train_transfer_packed_roundtrip():
+    """--train_transfer packed quantized byte rows: kmer (4-bit), npass (u16
+    scalar), labels and mask round-trip EXACTLY; int8 kinetics within 1/32;
+    sns within bf16 rounding; maps within 1/510; disabled channels come back
+    as zeros."""
+    import jax.numpy as jnp
+
+    from ccsmeth_tpu.training.train import _pack_rows_q, _q_fields, _unpack_rows_q
+
+    cfg = AttRNNConfig(num_layers=1, hidden_size=16,
+                       is_stds=True, is_sn=True, is_map=True)
+    fields = _q_fields(cfg)
+    rng = np.random.RandomState(0)
+    B, L = 8, 21
+    feats = {}
+    for s in ("", "2"):
+        feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+        feats["kpass" + s] = np.repeat(
+            rng.randint(1, 300, (B, 1)).astype(np.float32), L, axis=1)
+        for k in ("ipd_means", "pw_means", "ipd_stds", "pw_stds"):
+            feats[k + s] = rng.randn(B, L).astype(np.float32)
+        feats["sns" + s] = rng.randn(B, 4).astype(np.float32)
+        feats["maps" + s] = rng.rand(B, L).astype(np.float32)
+    labels = rng.randint(0, 2, B).astype(np.int32)
+    mask = (rng.rand(B) < 0.8).astype(np.float32)
+
+    buf = _pack_rows_q(fields, feats, labels, mask)
+    assert buf.dtype == np.uint8
+    assert buf.shape == (B, sum(nb for _k, _kind, nb in fields) + 2)
+    f2, l2, m2 = _unpack_rows_q(jnp.asarray(buf), fields, cfg)
+    np.testing.assert_array_equal(np.asarray(l2), labels)
+    np.testing.assert_array_equal(np.asarray(m2), mask)
+    for s in ("", "2"):
+        np.testing.assert_array_equal(np.asarray(f2["kmer" + s]),
+                                      feats["kmer" + s])
+        np.testing.assert_array_equal(np.asarray(f2["kpass" + s]),
+                                      feats["kpass" + s])
+        for k in ("ipd_means", "pw_means", "ipd_stds", "pw_stds"):
+            np.testing.assert_allclose(np.asarray(f2[k + s]), feats[k + s],
+                                       atol=1.0 / 32)
+        np.testing.assert_allclose(np.asarray(f2["sns" + s]), feats["sns" + s],
+                                   rtol=8e-3, atol=8e-3)
+        np.testing.assert_allclose(np.asarray(f2["maps" + s]), feats["maps" + s],
+                                   atol=1.0 / 510)
+
+    # flagship config (npass only): disabled channels come back as zeros and
+    # the wire row is 112 B/sample (vs 1216 fp32)
+    cfg_flag = AttRNNConfig(num_layers=1, hidden_size=16)
+    fields_flag = _q_fields(cfg_flag)
+    assert sum(nb for _k, _kind, nb in fields_flag) + 2 == 112
+    buf2 = _pack_rows_q(fields_flag, feats, labels, mask)
+    f3, _l3, _m3 = _unpack_rows_q(jnp.asarray(buf2), fields_flag, cfg_flag)
+    assert np.all(np.asarray(f3["ipd_stds"]) == 0)
+    assert np.all(np.asarray(f3["sns2"]) == 0)
+    assert np.all(np.asarray(f3["maps2"]) == 0)
+
+
+def test_train_transfer_packed_learns(tmp_path):
+    """--train_transfer packed e2e: the trainer still learns the separable set
+    through quantized wire rows."""
+    tr = str(tmp_path / "train.tsv")
+    va = str(tmp_path / "valid.tsv")
+    _write_feature_tsv(tr, n=600, seed=1)
+    _write_feature_tsv(va, n=120, seed=2)
+    cfg = TrainConfig(
+        train_file=tr, valid_file=va, model_dir=str(tmp_path / "models"),
+        model_type="attbigru2s", layer_rnn=1, hid_rnn=24, batch_size=64,
+        dropout_rate=0.1, max_epoch_num=12, min_epoch_num=4, step_interval=5,
+        lr=0.01, lr_decay=0.5, lr_decay_step=4, tseed=7,
+        train_transfer="packed",
+    )
+    result = train(cfg)
+    assert result["best_accuracy"] > 0.9
