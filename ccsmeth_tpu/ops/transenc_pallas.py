@@ -68,7 +68,7 @@ from jax.experimental.pallas import tpu as pltpu
 # transenc_impl_sweep.py reproduces the sweep.
 PACK = 12
 NPACKS = 4  # packs per grid tile (tile = PACK*NPACKS = 48 samples, as before)
-ATTN_IMPL = "packed"  # fastest measured formulation (see module docstring)
+ATTN_IMPL = "packed16"  # fastest measured formulation (see module docstring)
 
 
 def _stack_layer_params(layers: list[dict]) -> dict:
@@ -155,30 +155,16 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
         cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
         return jnp.where(rb == cb, 0.0, -1e9).astype(jnp.float32)
 
-    def block_mask01():
-        rb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 0) // L
-        cb = jax.lax.broadcasted_iota(jnp.int32, (PL_ROWS, PL_ROWS), 1) // L
-        return (rb == cb).astype(jnp.float32)
-
-    def make_sfm(mask, mask01):
+    def make_sfm(mask):
         """Per-variant softmax over the packed (…, PL_ROWS) scores.
 
-        packmul — drop the -1e9 mask ADD pass: subtract the all-columns row
-        max (>= the valid max, so mathematically identical up to exp
-        underflow ~e^-80) and zero off-block terms by MULTIPLYING the 0/1
-        mask into the exp pass (VPU fuses mul into the exp traversal,
-        removing one full pass over the widest tensor in the kernel).
-        packed16 — softmax passes carried at compute_dtype (bf16 on the fast
-        path): halves VPU traffic for every softmax pass; the ctx dot
-        consumes w at cd anyway. Drift is gated on-chip by the sweep's
-        maxdiff column (ops_experiments/transenc_impl_sweep.py).
+        packed16 (default) — softmax passes carried at compute_dtype (bf16
+        on the fast path): halves VPU traffic for every softmax pass; the
+        ctx dot consumes w at cd anyway. At cd=fp32 identical to packed.
+        On-chip verdict (r4b sweep + full-model ablation): +0.7% at both
+        levels, drift ≤1 ML byte; a mask-MULTIPLY variant ("packmul") was
+        measured a wash at both levels and removed.
         """
-        if attn_impl == "packmul":
-            def sfm(s):
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m) * mask01[None]
-                return e / jnp.sum(e, axis=-1, keepdims=True)
-            return sfm
         if attn_impl == "packed16":
             def sfm(s):
                 return jax.nn.softmax((s + mask[None]).astype(cd), axis=-1)
@@ -276,7 +262,7 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
                w2_ref, b2_ref, ln1s_ref, ln1b_ref, ln2s_ref, ln2b_ref,
                out_ref):
         mask = block_mask()
-        sfm = make_sfm(mask, block_mask01())
+        sfm = make_sfm(mask)
         x = x_ref[...].astype(jnp.float32)  # (R, D)
         for layer in range(NL):
             qkv = jnp.dot(x.astype(cd), wqkv_ref[layer].astype(cd),
@@ -323,7 +309,7 @@ def _make_encoder_kernel(NL: int, L: int, D: int, NH: int, FF: int,
                 ctx = jnp.concatenate(
                     [ctx_f[h * npacks:(h + 1) * npacks] for h in range(NH)],
                     -1).reshape(R, D)
-            else:  # "packed" / "packmul" / "packed16"
+            else:  # "packed" / "packed16"
                 heads = []
                 for h in range(NH):
                     q = qkv_p[:, :, h * HD:(h + 1) * HD]

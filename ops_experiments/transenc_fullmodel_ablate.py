@@ -2,7 +2,7 @@
 measures ~390-399k samples/s (~195k sites/s) while the full model captured
 174.8k sites/s — measure (don't assert) where the ~10% goes:
 embedding lookups, the 2-strand concat, the input dtype of the kernel read,
-the classifier, and the candidate softmax kernel variants (packmul /
+the classifier, and the candidate softmax kernel variants (packed /
 packed16, ops/transenc_pallas.py make_sfm).
 
 Run ON TPU: PYTHONPATH=/root/.axon_site:/root/repo python \
@@ -119,7 +119,7 @@ def main():
         lambda f: classifier(encoder_pooled_pallas(
             params, cfg, embed_cat(f, cd), compute_dtype=cd), B), feats, B))
     # 6/7. full with the softmax kernel variants (bf16 x)
-    for impl in ("packmul", "packed16"):
+    for impl in ("packed", "packed16"):
         try:
             report("full, bf16 x, " + impl, bench(
                 lambda f, i=impl: classifier(encoder_pooled_pallas(
@@ -161,9 +161,6 @@ def main():
                 params, cfg, feats, compute_dtype=cd, backend="pallas")[1]),
             ("bf16 x", lambda: classifier(encoder_pooled_pallas(
                 params, cfg, embed_cat(feats, cd), compute_dtype=cd), B)),
-            ("bf16 x packmul", lambda: classifier(encoder_pooled_pallas(
-                params, cfg, embed_cat(feats, cd), compute_dtype=cd,
-                attn_impl="packmul"), B)),
             ("bf16 x packed16", lambda: classifier(encoder_pooled_pallas(
                 params, cfg, embed_cat(feats, cd), compute_dtype=cd,
                 attn_impl="packed16"), B))):

@@ -35,7 +35,7 @@ def test_encoder_kernel_matches_xla():
     ("stackhead", 6, 8), ("wsplit", 6, 8), ("packed", 12, 4),
     ("stackhead", 12, 4), ("headrows", 6, 8),
     ("wqk", 12, 4), ("wqk", 6, 8),
-    ("packmul", 12, 4), ("packmul", 6, 8), ("packed16", 12, 4)])
+    ("packed16", 12, 4), ("packed16", 6, 8)])
 def test_encoder_attn_formulations_match_xla(attn_impl, pack, npacks):
     """Every attention formulation/pack-size of the fused kernel is the same
     math as the XLA encoder (formulations differ only in MXU layout)."""
