@@ -25,6 +25,7 @@ cfg = TrainConfig(
     model_type="attbigru2s", layer_rnn=1, hid_rnn=16, batch_size=32,
     dropout_rate=0.1, max_epoch_num=10, min_epoch_num=4, step_interval=2,
     lr=0.01, lr_decay=0.5, lr_decay_step=4, tseed=3,
+    train_transfer={transfer!r},
     dist_coordinator={coord!r}, num_processes=2, process_id={pid},
 )
 result = train(cfg)
@@ -40,7 +41,10 @@ def _free_port():
     return port
 
 
-def test_two_process_training(tmp_path):
+@pytest.mark.parametrize("transfer", ["fp32", "packed"])
+def test_two_process_training(tmp_path, transfer):
+    """transfer=packed also gates the quantized uint8 wire rows through
+    make_array_from_process_local_data global-batch assembly."""
     from tests.test_training import _write_feature_tsv
 
     tr = str(tmp_path / "tr.tsv")
@@ -57,7 +61,7 @@ def test_two_process_training(tmp_path):
     procs = []
     for pid in range(2):
         script = WORKER.format(repo=REPO, train=tr, valid=va, mdir=mdir,
-                               coord=coord, pid=pid)
+                               coord=coord, pid=pid, transfer=transfer)
         procs.append(subprocess.Popen([sys.executable, "-c", script], env=env,
                                       stdout=subprocess.PIPE,
                                       stderr=subprocess.STDOUT, text=True))
