@@ -462,6 +462,12 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "full"
     import os
 
+    # persistent XLA compile cache: repeat driver/queue runs skip the
+    # multi-minute remote compiles (harmless if the dir is absent/fresh)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     preflight = {"ok": True, "attempts": []}
     if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
         # bounded retry/backoff BEFORE committing to an uninterruptible init
@@ -507,6 +513,16 @@ def main():
               file=sys.stderr)
         sites_per_s = bench_jax(backend="xla", precision="fp32")
     else:
+        # the forward ceiling is batch-dependent (B=16384 amortizes per-tile
+        # weight residency further: r3 sweep 504.7-541.9k vs ~500k at 8192);
+        # the headline is the best operating point, both are recorded
+        extra["forward_sites_per_s_b8192"] = round(sites_per_s, 1)
+        try:
+            f16 = bench_jax(batch=16384)
+            extra["forward_sites_per_s_b16384"] = round(f16, 1)
+            sites_per_s = max(sites_per_s, f16)
+        except Exception as e:  # noqa: BLE001
+            extra["forward_sites_per_s_b16384"] = str(e)[:200]
         try:
             extra["numerics"] = bench_numerics()
         except AssertionError as e:
@@ -517,8 +533,11 @@ def main():
             extra["transenc_sites_per_s"] = str(e)[:200]
         try:
             extra["e2e"] = bench_e2e_stream()
+            # ratio vs the SAME-batch (8192) forward — the e2e stream runs
+            # batch 8192, so this is the pipeline-efficiency number
             extra["e2e"]["vs_forward"] = round(
-                extra["e2e"]["sites_per_s"] / sites_per_s, 3)
+                extra["e2e"]["sites_per_s"]
+                / extra["forward_sites_per_s_b8192"], 3)
         except Exception as e:  # noqa: BLE001
             extra["e2e"] = {"error": str(e)}
     if preflight["attempts"]:

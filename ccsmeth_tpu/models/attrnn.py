@@ -115,35 +115,12 @@ def apply_src_embed(params, x, train=False):
     return h
 
 
-def _conv1d_same_mm(x, w, compute_dtype=None):
-    """im2col matmul form of _conv1d_same: at L=21/K=3 the conv becomes ONE
-    dense (N*L, K*Cin) @ (K*Cin, Cout) dot that tiles the MXU, instead of a
-    tiny-spatial convolution. Same math up to fp accumulation order
-    (maxdiff 3e-8 fp32, tests/test_model_parity.py)."""
-    N, L, Cin = x.shape
-    Cout, _, K = w.shape
-    p = K // 2
-    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
-    cols = jnp.concatenate([xp[:, i:i + L, :] for i in range(K)], axis=2)
-    wm = jnp.transpose(w, (2, 1, 0)).reshape(K * Cin, Cout)
-    if compute_dtype is not None:
-        cols = cols.astype(compute_dtype)
-        wm = wm.astype(compute_dtype)
-    return jnp.dot(cols, wm, preferred_element_type=jnp.float32)
-
-
-def apply_src_embed_mm(params, x, compute_dtype=None):
-    """Inference-only apply_src_embed with im2col-matmul convs (fast paths:
-    the fused transenc/attrnn backends); compute_dtype=bf16 additionally
-    halves the dot operand traffic on the lossy fast path."""
-    h = _maxpool1d_same(jax.nn.relu(_bn(
-        _conv1d_same_mm(x, params["conv1"], compute_dtype), params["bn1"])))
-    h = _maxpool1d_same(jax.nn.relu(_bn(
-        _conv1d_same_mm(h, params["conv2"], compute_dtype), params["bn2"])))
-    for blk in params["plus"]:
-        h = _maxpool1d_same(jax.nn.relu(_bn(
-            _conv1d_same_mm(h, blk["conv"], compute_dtype), blk["bn"])))
-    return h
+# NOTE: an im2col-matmul formulation of this conv stack was prototyped and
+# measured on-chip (ops_experiments/src_embed_ablate.py, /tmp/tpu_r4c
+# 2026-08-20): 0.50-0.55 µs/strand-sample vs 0.36 µs for XLA's native conv
+# lowering — a LOSS at these tiny-spatial shapes (XLA already tiles the
+# K*Cin=3*Cin contraction well). Deleted per no-shipped-kernel-without-a-
+# winning-number.
 
 
 # ---------------------------------------------------------------------------------------

@@ -139,15 +139,13 @@ def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
 
 
 def _embed_strand_input(params, cfg: TransEncConfig, f, suffix, dropout_rng,
-                        train, conv_mm_dtype=None):
+                        train):
     """One strand's embedded + positioned encoder input (N, L, d_model).
 
-    conv_mm_dtype: when set (fast/pallas path only), the trans_input
-    src_embed runs its convs as im2col matmuls at that dtype
-    (apply_src_embed_mm) — the conv stack is ~35 MFLOP/site at
-    MXU-unfriendly shapes and dominated the measured embed cost
-    (ops_experiments/src_embed_ablate.py). The xla/parity path keeps the
-    reference-shaped convolution."""
+    The trans_input src_embed keeps XLA's native conv lowering on every
+    path: an im2col-matmul formulation was measured SLOWER on-chip
+    (0.50-0.55 vs 0.36 µs/strand-sample, ops_experiments/src_embed_ablate.py
+    r4c capture) and was deleted."""
     L = cfg.seq_len
     parts = [
         jnp.take(params["seq_embed"], f["kmer" + suffix].astype(jnp.int32), axis=0),
@@ -169,12 +167,7 @@ def _embed_strand_input(params, cfg: TransEncConfig, f, suffix, dropout_rng,
     if cfg.is_map:
         parts.append(jnp.take(params["map_embed"], f["maps" + suffix].astype(jnp.int32), axis=0))
     x = jnp.concatenate(parts, axis=2)
-    if conv_mm_dtype is not None and not train:
-        from .attrnn import apply_src_embed_mm
-
-        x = apply_src_embed_mm(params["trans_input"], x, conv_mm_dtype)
-    else:
-        x = apply_src_embed(params["trans_input"], x, train)
+    x = apply_src_embed(params["trans_input"], x, train)
     x = x + params["pos_embed"][None, :, :]
     if train:
         dropout_rng, sub = jax.random.split(dropout_rng)
@@ -197,10 +190,8 @@ def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
         # amortize weight residency per tile
         from ..ops.transenc_pallas import encoder_pooled_pallas
 
-        x1, _ = _embed_strand_input(params, cfg, feats, "", rng1, train,
-                                    conv_mm_dtype=compute_dtype)
-        x2, _ = _embed_strand_input(params, cfg, feats, "2", rng2, train,
-                                    conv_mm_dtype=compute_dtype)
+        x1, _ = _embed_strand_input(params, cfg, feats, "", rng1, train)
+        x2, _ = _embed_strand_input(params, cfg, feats, "2", rng2, train)
         B = x1.shape[0]
         x = jnp.concatenate([x1, x2], axis=0)
         if compute_dtype == jnp.bfloat16:

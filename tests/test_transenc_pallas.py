@@ -88,25 +88,3 @@ def test_train_path_ignores_pallas_backend():
     logits, _ = apply_transenc(params, cfg, feats, dropout_rng=rng, train=True,
                                backend="pallas")
     assert np.isfinite(np.asarray(logits)).all()
-
-
-def test_src_embed_matmul_form_matches_conv():
-    """apply_src_embed_mm (im2col matmul convs, the fast-path formulation)
-    is the same math as the reference-shaped conv stack."""
-    import numpy as np
-
-    from ccsmeth_tpu.models.attrnn import (
-        apply_src_embed,
-        apply_src_embed_mm,
-        init_src_embed,
-    )
-
-    rng = np.random.RandomState(5)
-    p = init_src_embed(rng, 28, 256, 1)
-    x = jnp.asarray(rng.randn(4, 21, 28).astype(np.float32))
-    ref = np.asarray(apply_src_embed(p, x))
-    got = np.asarray(apply_src_embed_mm(p, x))
-    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=1e-6)
-    # bf16 operand form stays within fast-path tolerance on the EMBED output
-    got16 = np.asarray(apply_src_embed_mm(p, x, jnp.bfloat16))
-    np.testing.assert_allclose(got16, ref, atol=3e-2, rtol=3e-2)
