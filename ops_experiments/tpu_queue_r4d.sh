@@ -18,6 +18,7 @@ run() { local name=$1 t=$2; shift 2
 run trainm_fp32 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 6 512 8 fp32
 run trainm_bf16 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 6 512 8 bf16
 run trainm_packed 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 6 512 8 packed
+run trainm_packed_f32 3600 python ops_experiments/trainm_onchip.py 65536 pallas bf16 6 512 32 packed
 run full_a 5400 python bench.py
 run full_b 5400 python bench.py
 echo "QUEUE DONE" | tee -a "$LOG/queue.log"
