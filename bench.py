@@ -486,6 +486,12 @@ def main():
     if mode == "numerics":
         print(json.dumps({"numerics": bench_numerics()}))
         return
+    if mode == "forward":
+        # forward-only at an explicit batch (operating-point probes)
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+        print(json.dumps({"forward": {"batch": batch, "sites_per_s": round(
+            bench_jax(batch=batch), 1)}}))
+        return
     if mode == "e2e":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
         # default matches the shipped call_mods transfer path
