@@ -528,16 +528,19 @@ def main():
               file=sys.stderr)
         sites_per_s = bench_jax(backend="xla", precision="fp32")
     else:
-        # the forward ceiling is batch-dependent (B=16384 amortizes per-tile
-        # weight residency further: r3 sweep 504.7-541.9k vs ~500k at 8192);
-        # the headline is the best operating point, both are recorded
+        # the forward ceiling is batch-dependent (larger batches amortize
+        # per-tile weight residency: r4 captures 490k @8192, 529.9k @16384,
+        # 543.0k @32768); the headline is the best operating point, every
+        # probed batch is recorded
         extra["forward_sites_per_s_b8192"] = round(sites_per_s, 1)
-        try:
-            f16 = bench_jax(batch=16384)
-            extra["forward_sites_per_s_b16384"] = round(f16, 1)
-            sites_per_s = max(sites_per_s, f16)
-        except Exception as e:  # noqa: BLE001
-            extra["forward_sites_per_s_b16384"] = str(e)[:200]
+        for bb in (16384, 32768):
+            key = "forward_sites_per_s_b{}".format(bb)
+            try:
+                fb = bench_jax(batch=bb)
+                extra[key] = round(fb, 1)
+                sites_per_s = max(sites_per_s, fb)
+            except Exception as e:  # noqa: BLE001
+                extra[key] = str(e)[:200]
         try:
             extra["numerics"] = bench_numerics()
         except AssertionError as e:
