@@ -443,7 +443,9 @@ def _preflight_backend(budget_s: float = 780.0) -> dict:
             return {"ok": True, "attempts": attempts}
         print("backend preflight attempt {} failed (rc={}, {}s); "
               "retrying".format(i + 1, rc, dt), file=sys.stderr)
-        time.sleep(min(20.0, max(0.0, budget_s - (time.monotonic() - t_start))))
+        if i < len(per_try) - 1:  # no pointless backoff after the last try
+            time.sleep(min(20.0, max(
+                0.0, budget_s - (time.monotonic() - t_start))))
     return {"ok": False, "attempts": attempts}
 
 

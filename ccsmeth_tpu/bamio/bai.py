@@ -118,18 +118,41 @@ def build_index(bam_path: str, bai_path: str | None = None,
     u_total = 0        # uncompressed bytes decoded so far
     eof_c = [None]     # total compressed size, known at stream end
 
+    def _first_block_len(buf: bytes) -> int:
+        """bsize of the first complete BGZF block framed in buf, else 0."""
+        if len(buf) < 18 or buf[:2] != b"\x1f\x8b":
+            return 0
+        (xlen,) = struct.unpack_from("<H", buf, 10)
+        if 12 + xlen > len(buf):
+            return 0
+        p_ = 12
+        while p_ + 4 <= 12 + xlen:
+            if buf[p_] == 66 and buf[p_ + 1] == 67:
+                bs = struct.unpack_from("<H", buf, p_ + 4)[0] + 1
+                return bs if bs <= len(buf) else 0
+            p_ += 4 + struct.unpack_from("<H", buf, p_ + 2)[0]
+        return 0
+
     def next_span() -> bytes | None:
         """Decompress the next batch of complete blocks, appending their
         offsets to the (windowed) block tables."""
         nonlocal tail, csize_done, u_total
         while True:
-            chunk = tail + fh.read(span_bytes)
+            # drain a tail that already frames complete blocks before
+            # reading more — else on highly compressible BAMs (where the
+            # decompressed-size cut below leaves most of the span unread)
+            # the carry grows toward O(compressed file) resident
+            if tail and _first_block_len(tail) > 0:
+                chunk = tail
+            else:
+                chunk = tail + fh.read(span_bytes)
             tail = b""
             if not chunk:
                 eof_c[0] = csize_done
                 return None
             off = 0
             n = len(chunk)
+            dec = 0  # decompressed bytes this span will materialize
             new_blocks = []
             while off + 18 <= n:
                 if chunk[off:off + 2] != b"\x1f\x8b":
@@ -151,6 +174,13 @@ def build_index(bam_path: str, bai_path: str | None = None,
                 if off + bsize > n:
                     break
                 (isize,) = struct.unpack_from("<I", chunk, off + bsize - 4)
+                # cap the span's DECOMPRESSED size at 4x its compressed size
+                # so a highly compressible BAM (BGZF ratios reach ~650x on
+                # low-complexity runs) can't materialize far past the
+                # documented ~span-sized window in one decompress call
+                if off > 0 and dec + isize > 4 * span_bytes:
+                    break
+                dec += isize
                 new_blocks.append((csize_done + off, isize))
                 off += bsize
             if off == 0:  # span smaller than one block: grow it

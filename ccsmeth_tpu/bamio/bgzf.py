@@ -145,7 +145,17 @@ class BgzfReader(io.RawIOBase):
         """Pull a span of compressed bytes and parallel-decompress its complete
         blocks; the split tail block carries into the next span."""
         while True:
-            chunk = self._tail + self._fh.read(self._span)
+            # when the previous refill's decompressed-size cap left a tail
+            # that already frames complete blocks, drain it before reading
+            # more — otherwise on streams compressing better than the cap
+            # ratio the tail grows by ~span*(1-4/ratio) per refill, i.e.
+            # O(compressed file) resident (advisor r4 finding, empirically
+            # reproduced on an all-zeros BGZF stream)
+            if self._tail and self._complete_prefix_len(
+                    self._tail, 4 * self._span) > 0:
+                chunk = self._tail
+            else:
+                chunk = self._tail + self._fh.read(self._span)
             self._tail = b""
             if not chunk:
                 self._eof = True

@@ -398,6 +398,12 @@ def encoder_pooled_pallas(params: dict, cfg, x, compute_dtype=jnp.float32,
     Drop-in for models/transenc.py `_encoder(...)` followed by
     `jnp.mean(x, axis=1)` at inference. interpret=None auto-selects
     interpreter mode off-TPU (CI runs CPU)."""
+    if attn_impl not in ("packed", "packed16", "stackhead", "wsplit",
+                        "headrows", "wqk"):
+        # fail loudly: the per-head dispatch used to fall through to
+        # "packed" on unknown names, silently mislabeling measurements of
+        # deleted variants (e.g. the removed "packmul")
+        raise ValueError("unknown attn_impl: {!r}".format(attn_impl))
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     return _encoder_call(x, _stacked_params(params), cfg.seq_len, cfg.nhead,

@@ -69,7 +69,15 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     if kinetics_quant not in ("none", "int8"):
         raise ValueError("kinetics_quant must be 'none' or 'int8'")
     quant = kinetics_quant == "int8"
-    QSCALE = 16.0
+    from ..utils.wirefmt import (
+        dequant_i8_jx,
+        pack_kmer4_np,
+        pack_u16_np,
+        quant_i8_np,
+        unpack_kmer4_jx,
+        unpack_u16_jx,
+    )
+
     kin_dtype = np.int8 if quant else transfer_dtype
     # fast path only (bf16/int8 transfer): fetch probs as bf16 — halves the
     # per-dispatch result RPC (the (k, B, 2) fp32 fetch is ~10% of a
@@ -82,8 +90,7 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
         return probs.astype(jnp.bfloat16) if fetch_bf16 else probs
 
     def _dequant(v):
-        return v.astype(jnp.float32) * (1.0 / QSCALE) if quant else \
-            v.astype(jnp.float32)
+        return dequant_i8_jx(v) if quant else v.astype(jnp.float32)
 
     def _predict_impl(compact):
         B = compact["kmer"].shape[0]
@@ -124,8 +131,7 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
 
         def kin(arr):
             if quant:
-                return np.clip(np.rint(np.asarray(arr, np.float32) * QSCALE),
-                               -128, 127).astype(np.int8)
+                return quant_i8_np(arr)
             return np.asarray(arr, transfer_dtype)
 
         for s in ("", "2"):
@@ -192,15 +198,9 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
         for k, kind, dt, nb in _fields:
             o = _offsets[k]
             if kind == "kmer4":
-                u = compact[k].astype(np.uint8)
-                if u.shape[1] % 2:
-                    u = np.concatenate(
-                        [u, np.zeros((B, 1), np.uint8)], axis=1)
-                buf[:, o:o + nb] = u[:, 0::2] | (u[:, 1::2] << 4)
+                buf[:, o:o + nb] = pack_kmer4_np(compact[k])
             elif kind == "u16":
-                v = np.clip(np.rint(np.asarray(compact[k], np.float64)),
-                            0, 65535).astype("<u2")
-                buf[:, o:o + nb] = v[:, None].view(np.uint8)
+                buf[:, o:o + nb] = pack_u16_np(compact[k])
             else:
                 v = np.ascontiguousarray(compact[k].astype(dt, copy=False))
                 buf[:, o:o + nb] = v.view(np.uint8).reshape(B, -1)
@@ -213,14 +213,9 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
             o = _offsets[k]
             raw = buf[:, o:o + nb]
             if kind == "kmer4":
-                lo = raw & 0xF
-                hi = raw >> 4
-                km = jnp.stack([lo, hi], axis=-1).reshape(B, 2 * nb)[:, :L]
-                out[k] = km.astype(jnp.int8)
+                out[k] = unpack_kmer4_jx(raw, L).astype(jnp.int8)
             elif kind == "u16":
-                v = jax.lax.bitcast_convert_type(
-                    raw.reshape(B, 1, 2), jnp.uint16)
-                out[k] = v[:, 0]
+                out[k] = unpack_u16_jx(raw)[:, 0]
             elif dt.itemsize == 1:
                 out[k] = jax.lax.bitcast_convert_type(raw, jnp.int8)
             else:

@@ -197,8 +197,8 @@ def _unpack_cols(flat, fields):
 # Channels the model config disables (is_stds/is_sn/is_map) are dropped from
 # the wire and restored as zeros on device — the model never reads them
 # (models/attrnn.py:167-229). Opt-in: kinetics rows round to 1/32; the fp32
-# path stays the parity default.
-_QSCALE = 16.0
+# path stays the parity default. The kmer4/u16/int8 encodings are the SHARED
+# wire primitives (utils/wirefmt.py) — one definition for train + inference.
 
 
 def _q_fields(model_cfg) -> list[tuple[str, str, int]]:
@@ -224,6 +224,8 @@ def _pack_rows_q(fields, feats: dict, labels, mask) -> np.ndarray:
     (+1 labels byte, +1 mask byte at the end)."""
     import ml_dtypes
 
+    from ..utils.wirefmt import pack_kmer4_np, pack_u16_np, quant_i8_np
+
     B = np.asarray(labels).shape[0]
     row = sum(nb for _k, _kind, nb in fields) + 2
     buf = np.empty((B, row), np.uint8)
@@ -231,16 +233,11 @@ def _pack_rows_q(fields, feats: dict, labels, mask) -> np.ndarray:
     for k, kind, nb in fields:
         v = np.asarray(feats[k], np.float32)
         if kind == "kmer4":
-            u = v.astype(np.uint8)
-            if u.shape[1] % 2:
-                u = np.concatenate([u, np.zeros((B, 1), np.uint8)], axis=1)
-            buf[:, o:o + nb] = u[:, 0::2] | (u[:, 1::2] << 4)
+            buf[:, o:o + nb] = pack_kmer4_np(v)
         elif kind == "u16s":
-            s = np.clip(np.rint(v.reshape(B, -1)[:, 0]), 0, 65535).astype("<u2")
-            buf[:, o:o + nb] = s[:, None].view(np.uint8)
+            buf[:, o:o + nb] = pack_u16_np(v.reshape(B, -1)[:, 0])
         elif kind == "i8q":
-            q = np.clip(np.rint(v * _QSCALE), -128, 127).astype(np.int8)
-            buf[:, o:o + nb] = q.view(np.uint8)
+            buf[:, o:o + nb] = quant_i8_np(v).view(np.uint8)
         elif kind == "bf16":
             buf[:, o:o + nb] = np.ascontiguousarray(
                 v.astype(ml_dtypes.bfloat16)).view(np.uint8).reshape(B, -1)
@@ -255,20 +252,20 @@ def _pack_rows_q(fields, feats: dict, labels, mask) -> np.ndarray:
 def _unpack_rows_q(buf, fields, model_cfg):
     """On-device unpack of quantized rows back to the full fp32 feats dict
     (disabled channels restored as zeros), labels int32, mask fp32."""
+    from ..utils.wirefmt import dequant_i8_jx, unpack_kmer4_jx, unpack_u16_jx
+
     L = model_cfg.seq_len
     B = buf.shape[0]
     feats, o = {}, 0
     for k, kind, nb in fields:
         raw = buf[:, o:o + nb]
         if kind == "kmer4":
-            km = jnp.stack([raw & 0xF, raw >> 4], axis=-1).reshape(B, 2 * nb)
-            feats[k] = km[:, :L].astype(jnp.float32)
+            feats[k] = unpack_kmer4_jx(raw, L).astype(jnp.float32)
         elif kind == "u16s":
-            s = jax.lax.bitcast_convert_type(raw.reshape(B, 1, 2), jnp.uint16)
+            s = unpack_u16_jx(raw)
             feats[k] = jnp.broadcast_to(s.astype(jnp.float32), (B, L))
         elif kind == "i8q":
-            q = jax.lax.bitcast_convert_type(raw, jnp.int8)
-            feats[k] = q.astype(jnp.float32) * (1.0 / _QSCALE)
+            feats[k] = dequant_i8_jx(jax.lax.bitcast_convert_type(raw, jnp.int8))
         elif kind == "bf16":
             v = jax.lax.bitcast_convert_type(
                 raw.reshape(B, nb // 2, 2), jnp.bfloat16)

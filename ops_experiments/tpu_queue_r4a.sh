@@ -1,4 +1,6 @@
 #!/bin/bash
+# HISTORICAL (r4 archive): vjp_tu_sweep.py was deleted after this queue ran
+# (TU kernels lost on-chip); replaying this script as-is will fail at that step.
 # Round-4 queue #1: (1) the VJP time-unrolled sweep VERDICT r3 #2 demands a
 # verdict for, (2) a full bench capture early in the round so this tunnel
 # window's baseline is on record before the round-4 code changes land.

@@ -1,4 +1,7 @@
 #!/bin/bash
+# HISTORICAL (r4 archive): the packmul attn variant was deleted after this
+# queue ran (measured a wash); replaying packmul@* now silently measures the
+# default packed16 kernel instead.
 # Round-4 queue #2: (1) B=512 + B=2048 production train-step device ceiling
 # (re-base trainm, VERDICT r3 next #2), (2) transenc full-model gap ablation
 # + softmax kernel variants (next #4), (3) e2e medians with the two-stage

@@ -130,3 +130,43 @@ def test_build_index_streams_bounded_memory(tmp_path):
     got = [r.qname for r in fetch_region(p, "chrS", 1_000_000, 1_400_000)]
     want = _brute_force(p, 1_000_000, 1_400_000)
     assert got == want and len(got) > 10
+
+
+def test_build_index_bounded_memory_compressible_bam(tmp_path):
+    """The streaming bound must hold in DECOMPRESSED terms too: a
+    low-complexity BAM (homopolymer reads, BGZF ratio ~100-600x) framed by
+    compressed span_bytes alone would materialize ~ratio x span in one
+    decompress call (advisor r4 finding — 96.7 MB peak at a 256 KiB span
+    pre-fix). The span framing must also cut on cumulative ISIZE."""
+    import tracemalloc
+
+    import numpy as np
+
+    from ccsmeth_tpu.bamio.bam import BamHeader, BamRecord, BamWriter
+
+    p = str(tmp_path / "lowc.bam")
+    # ~30 MB decompressed of near-identical homopolymer records -> BGZF
+    # compresses them ~100x
+    header = BamHeader("@SQ\tSN:chrS\tLN:4000000\n", [("chrS", 4_000_000)])
+    seq = "A" * 4000
+    qual = np.full(4000, 40, np.uint8)
+    with BamWriter(p, header) as w:
+        for i in range(7_000):
+            w.write(BamRecord(qname="r{:06d}".format(i), flag=0, ref_id=0,
+                              pos=100 + i * 300, mapq=60,
+                              cigar=[(0, 4000)], seq=seq, qual=qual))
+    import os as _os
+
+    csize = _os.path.getsize(p)
+    assert csize < 4 << 20, csize  # genuinely compressible fixture
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    bai = build_index(p, span_bytes=256 << 10)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # 4x span decompressed cap + trimming slack; pre-fix this peaked ~97 MB
+    assert peak < 12 << 20, "build_index peak {} bytes on compressible BAM".format(peak)
+    idx = BaiIndex(bai)
+    assert idx is not None
+    got = [r.qname for r in fetch_region(p, "chrS", 200_000, 260_000)]
+    assert got and all(q.startswith("r") for q in got)

@@ -110,12 +110,12 @@ def test_native_span_decompressed_cap_pathological_ratio(tmp_path):
     from ccsmeth_tpu.bamio.bgzf import BgzfReader, BgzfWriter
 
     p = str(tmp_path / "zeros.bgzf")
-    payload = bytes(8 << 20)  # 8 MB of zeros -> ~15 KB compressed
+    payload = bytes(64 << 20)  # 64 MB of zeros -> ~130 KB compressed
     with BgzfWriter(p, compresslevel=6) as w:
         w.write(payload)
     import os as _os
 
-    assert _os.path.getsize(p) < 64 << 10
+    assert _os.path.getsize(p) < 256 << 10
     rd = BgzfReader(p, span_bytes=4096)
     if rd._native is None:
         rd.close()
@@ -124,13 +124,20 @@ def test_native_span_decompressed_cap_pathological_ratio(tmp_path):
         _pytest.skip("native codec unavailable")
     got = bytearray()
     max_buf = 0
+    max_tail = 0
     while True:
         chunk = rd.read(1 << 20)
         if not chunk:
             break
         got += chunk
         max_buf = max(max_buf, len(rd._buf))
+        max_tail = max(max_tail, len(rd._tail))
     rd.close()
     assert bytes(got) == payload
     # 4x compressed span + one 64 KiB block of slack
     assert max_buf <= 4 * 4096 + (64 << 10), max_buf
+    # the COMPRESSED carry between spans must stay bounded too: when the
+    # decompressed cap leaves a tail that already frames whole blocks, the
+    # next refill must drain it instead of reading span more bytes — else
+    # the tail grows toward O(compressed file) on ratios > 4x (advisor r4)
+    assert max_tail <= 2 * 4096 + (64 << 10), max_tail
