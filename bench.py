@@ -504,6 +504,11 @@ def main():
     if mode == "forward":
         # forward-only at an explicit batch (operating-point probes)
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+        if jax.default_backend() not in ("tpu", "axon"):
+            # pallas off-TPU silently runs interpret mode (hours at these
+            # batches) — fail fast like full mode does
+            raise SystemExit("bench.py forward needs a TPU backend (got {})"
+                             .format(jax.default_backend()))
         print(json.dumps({"forward": {"batch": batch, "sites_per_s": round(
             bench_jax(batch=batch), 1)}}))
         return

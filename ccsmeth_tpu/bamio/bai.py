@@ -118,21 +118,6 @@ def build_index(bam_path: str, bai_path: str | None = None,
     u_total = 0        # uncompressed bytes decoded so far
     eof_c = [None]     # total compressed size, known at stream end
 
-    def _first_block_len(buf: bytes) -> int:
-        """bsize of the first complete BGZF block framed in buf, else 0."""
-        if len(buf) < 18 or buf[:2] != b"\x1f\x8b":
-            return 0
-        (xlen,) = struct.unpack_from("<H", buf, 10)
-        if 12 + xlen > len(buf):
-            return 0
-        p_ = 12
-        while p_ + 4 <= 12 + xlen:
-            if buf[p_] == 66 and buf[p_ + 1] == 67:
-                bs = struct.unpack_from("<H", buf, p_ + 4)[0] + 1
-                return bs if bs <= len(buf) else 0
-            p_ += 4 + struct.unpack_from("<H", buf, p_ + 2)[0]
-        return 0
-
     def next_span() -> bytes | None:
         """Decompress the next batch of complete blocks, appending their
         offsets to the (windowed) block tables."""
@@ -141,8 +126,10 @@ def build_index(bam_path: str, bai_path: str | None = None,
             # drain a tail that already frames complete blocks before
             # reading more — else on highly compressible BAMs (where the
             # decompressed-size cut below leaves most of the span unread)
-            # the carry grows toward O(compressed file) resident
-            if tail and _first_block_len(tail) > 0:
+            # the carry grows toward O(compressed file) resident (the block
+            # framer is the shared BGZF one, bgzf.py _complete_prefix_len)
+            if tail and BgzfReader._complete_prefix_len(
+                    tail, 4 * span_bytes) > 0:
                 chunk = tail
             else:
                 chunk = tail + fh.read(span_bytes)

@@ -145,26 +145,25 @@ class BgzfReader(io.RawIOBase):
         """Pull a span of compressed bytes and parallel-decompress its complete
         blocks; the split tail block carries into the next span."""
         while True:
-            # when the previous refill's decompressed-size cap left a tail
+            # Cap the span's DECOMPRESSED size at 4x its compressed size so
+            # a highly compressible stream can't blow resident memory past
+            # the documented ~4x-span bound; and when that cap left a tail
             # that already frames complete blocks, drain it before reading
-            # more — otherwise on streams compressing better than the cap
-            # ratio the tail grows by ~span*(1-4/ratio) per refill, i.e.
-            # O(compressed file) resident (advisor r4 finding, empirically
-            # reproduced on an all-zeros BGZF stream)
-            if self._tail and self._complete_prefix_len(
-                    self._tail, 4 * self._span) > 0:
+            # more — otherwise on ratios > 4x the tail grows by
+            # ~span*(1-4/ratio) per refill, i.e. O(compressed file) resident
+            # (advisor r4 finding, reproduced on an all-zeros stream).
+            max_dec = 4 * self._span
+            cut = self._complete_prefix_len(self._tail, max_dec) \
+                if self._tail else 0
+            if cut > 0:
                 chunk = self._tail
             else:
                 chunk = self._tail + self._fh.read(self._span)
+                cut = self._complete_prefix_len(chunk, max_dec)
             self._tail = b""
             if not chunk:
                 self._eof = True
                 return False
-            # cap the span's DECOMPRESSED size at 4x its compressed size so a
-            # highly compressible stream can't blow resident memory past the
-            # documented ~4x-span bound
-            max_dec = 4 * self._span
-            cut = self._complete_prefix_len(chunk, max_dec)
             while cut == 0:
                 # span smaller than one compressed block: grow until a whole
                 # block frames (keeps small memory-capped spans streaming
