@@ -294,6 +294,19 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
         jax.block_until_ready(jax.device_put(mega_buf, predict.mega_sharding))
     out["put_mbps_mega"] = round(
         3 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+    # (a''') concurrent mega-put: 2 overlapping put streams, matching the
+    # shipped two-stage pipeline's put concurrency. On tunnels that multiplex
+    # RPCs this exceeds the serial rate (the r4e full_c window measured ~2x),
+    # so the window bound below takes the better of the two probes and
+    # vs_window_bound stays a true efficiency ratio in multiplexing windows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda _: jax.block_until_ready(
+            jax.device_put(mega_buf, predict.mega_sharding)), range(4)))
+    out["put_mbps_mega_c2"] = round(
+        4 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
     # (b) device-resident streaming: inputs staged once, same dispatch loop —
     # isolates pipeline overhead from the transfer path
     staged_batches = [
@@ -330,8 +343,6 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
         collected / (time.perf_counter() - t0), 1)
     # (c) wider dispatch pool probe: 4 put threads vs the shipped 2 — if this
     # beats the headline, raise dispatch_workers; if equal, 2 saturates the link
-    from concurrent.futures import ThreadPoolExecutor
-
     pending = deque()
     collected = 0
     t0 = time.perf_counter()
@@ -346,14 +357,15 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     out["threaded4_sites_per_s"] = round(collected / (time.perf_counter() - t0), 1)
     # window-quality normalization: with the two-stage pipeline fully
     # overlapping put and compute, steady-state throughput is bounded by
-    # max(wire, compute). wire_bound here uses the SERIAL mega-put probe
-    # (one blocking put at a time); the shipped pipeline runs concurrent put
-    # streams, and on tunnels that multiplex RPCs the achieved aggregate
-    # wire rate can exceed the serial rate — so vs_window_bound > 1 is
-    # possible and means the pipeline extracted more than serial wire
-    # bandwidth. Either way, values >= ~0.9 say the pipeline delivers the
-    # link's worth; << 1 would indicate pipeline slack (PERF.md §3).
-    wire_bound = out["put_mbps_mega"] * 1e6 / out["row_bytes"]
+    # max(wire, compute). wire_bound takes the better of the serial and
+    # 2-stream mega-put probes — the shipped pipeline runs concurrent put
+    # streams, so on tunnels that multiplex RPCs the serial probe alone
+    # understates the achievable wire rate (r4e full_c: ~2x). Values
+    # >= ~0.9 say the pipeline delivers the link's worth; << 1 indicates
+    # pipeline slack (PERF.md §3). Mild >1 can still occur when the wire
+    # rate drifts between the probe and the streaming window.
+    wire_bound = (max(out["put_mbps_mega"], out["put_mbps_mega_c2"])
+                  * 1e6 / out["row_bytes"])
     bound = min(max(1.0, wire_bound), out["resident_mega_sites_per_s"])
     out["window_bound_sites_per_s"] = round(bound, 1)
     out["vs_window_bound"] = round(out["sites_per_s"] / bound, 3)
