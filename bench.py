@@ -204,8 +204,12 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     tdt = np.dtype(ml_dtypes.bfloat16) if precision == "bf16" else np.float32
     if kinetics_quant == "auto":  # mirrors CallModsConfig.resolved_transfer_quant
         kinetics_quant = "int8" if precision == "bf16" else "none"
+    # mirrors CallModsConfig.resolved_fetch_mode: the shipped modbam fast path
+    # fetches on-device u8 ML bytes (1 B/site result RPC)
+    fetch_mode = "mlbyte" if precision == "bf16" else "probs"
     predict = make_predict_fn(_apply_for(cfg, "pallas", precision), params, cfg,
-                              transfer_dtype=tdt, kinetics_quant=kinetics_quant)
+                              transfer_dtype=tdt, kinetics_quant=kinetics_quant,
+                              fetch_mode=fetch_mode)
     if fuse is None:
         fuse = 8  # matches CallModsConfig.dispatch_fuse (the shipped default)
     # n_batches distinct host-side batches (realistic: every dispatch transfers)
@@ -213,6 +217,13 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     predict(host_batches[0])  # compile + warm (packed path)
     predict.collect(predict.dispatch_unpacked(host_batches[0]))
     predict.collect(predict.dispatch_many(host_batches[:2] * (fuse // 2)))
+    # converge the adaptive put gate before timing (1 warmup-skip put + a
+    # 3+3 probe cycle of both stream limits = 7 gated puts; production runs
+    # are long so the headline measures the steady-state decision)
+    for f in [predict.dispatch_many_async(
+            [host_batches[j % len(host_batches)] for j in range(fuse)])
+            for _ in range(8)]:
+        predict.collect(f)
 
     def stream(dispatch_fn, n=n_batches):
         pending: deque = deque()
@@ -226,10 +237,13 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
             collected += predict.collect(pending.popleft()).shape[0]
         return collected / (time.perf_counter() - t0)
 
-    def stream_mega(n=n_batches, k=fuse, dispatch_fn=None):
+    def stream_mega(n=n_batches, k=fuse, dispatch_fn=None, depth_m: int = 2):
         """The shipped pipeline path (CallModsConfig.dispatch_fuse=8): k packed
         batches fused into ONE put + ONE dispatch + ONE fetch via lax.scan on
-        device (parallel/mesh.py dispatch_many)."""
+        device (parallel/mesh.py dispatch_many). depth_m extra megabatches
+        stay in flight (r5: 2, was 1 — the r4f attribution blamed ~40 ms of
+        bubbles per 193 ms period on single-depth pipelining); with the
+        chained fetch thread collect() returns already-fetched host arrays."""
         dispatch_fn = dispatch_fn or predict.dispatch_many_async
         groups = [[host_batches[(g * k + j) % len(host_batches)]
                    for j in range(k)] for g in range(max(n // k, 1))]
@@ -238,7 +252,7 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
         t0 = time.perf_counter()
         for g in groups:
             pending.append(dispatch_fn(g))
-            while len(pending) > 1:
+            while len(pending) > depth_m:
                 arr = predict.collect(pending.popleft())
                 collected += arr.shape[0] * arr.shape[1]
         while pending:
@@ -253,9 +267,12 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     # async/serial/unpacked kept for attribution of what each fix buys
     mega_runs = sorted(round(stream_mega(), 1) for _ in range(3))
     out = {"sites_per_s": mega_runs[1], "mega_runs": mega_runs,
+           "put_gate": (predict.put_gate.snapshot()
+                        if predict.put_gate is not None else None),
            "batch": batch,
            "depth": depth, "n_batches": n_batches, "fuse": fuse,
            "row_bytes": predict.row_bytes, "kinetics_quant": kinetics_quant,
+           "fetch_mode": fetch_mode,
            "async1_sites_per_s": round(stream(predict.dispatch_async), 1),
            "serial_sites_per_s": round(stream(predict.dispatch), 1),
            "unpacked_sites_per_s": round(stream(predict.dispatch_unpacked), 1)}
@@ -289,24 +306,34 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     # fixed per-RPC latency is 1/8 per batch, so this approaches the tunnel's
     # raw wire bandwidth — the number the fused path's transfer bound is built on
     mega_buf = np.broadcast_to(packed_buf, (fuse,) + packed_buf.shape).copy()
+    # untimed first-touch warmup so the serial and concurrent probes both
+    # measure steady-state (ADVICE r4: the serial loop otherwise eats the
+    # mega_sharding transfer-path cold cost and widens the serial-vs-c2 gap)
+    jax.block_until_ready(jax.device_put(mega_buf, predict.mega_sharding))
     t0 = time.perf_counter()
     for _ in range(3):
         jax.block_until_ready(jax.device_put(mega_buf, predict.mega_sharding))
     out["put_mbps_mega"] = round(
         3 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
     # (a''') concurrent mega-put: 2 overlapping put streams, matching the
-    # shipped two-stage pipeline's put concurrency. On tunnels that multiplex
-    # RPCs this exceeds the serial rate (the r4e full_c window measured ~2x),
-    # so the window bound below takes the better of the two probes and
+    # shipped pipeline's put concurrency. On tunnels that multiplex RPCs this
+    # exceeds the serial rate (the r4 driver window measured 2.4x), so the
+    # window bound below takes the better of the two probes and
     # vs_window_bound stays a true efficiency ratio in multiplexing windows.
+    # Median of 3 reps: one 4-put sample is noisy against run-to-run wire
+    # swings (ADVICE r4), and the bound this feeds should not ride an outlier.
     from concurrent.futures import ThreadPoolExecutor
 
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        list(ex.map(lambda _: jax.block_until_ready(
-            jax.device_put(mega_buf, predict.mega_sharding)), range(4)))
-    out["put_mbps_mega_c2"] = round(
-        4 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+    c2_reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            list(ex.map(lambda _: jax.block_until_ready(
+                jax.device_put(mega_buf, predict.mega_sharding)), range(4)))
+        c2_reps.append(round(
+            4 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1))
+    out["put_mbps_mega_c2"] = sorted(c2_reps)[1]
+    out["put_mbps_mega_c2_reps"] = c2_reps
     # (b) device-resident streaming: inputs staged once, same dispatch loop —
     # isolates pipeline overhead from the transfer path
     staged_batches = [
@@ -524,6 +551,17 @@ def main():
         print(json.dumps({"forward": {"batch": batch, "sites_per_s": round(
             bench_jax(batch=batch), 1)}}))
         return
+    if mode == "transenc":
+        # transencoder2s forward at an explicit batch (operating-point probes;
+        # the flagship gained +8% from B=8192->32768, r4 — probe the same
+        # lever here, VERDICT r4 next #6)
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+        if jax.default_backend() not in ("tpu", "axon"):
+            raise SystemExit("bench.py transenc needs a TPU backend (got {})"
+                             .format(jax.default_backend()))
+        print(json.dumps({"transenc": {"batch": batch, "sites_per_s": round(
+            bench_transenc(batch=batch), 1)}}))
+        return
     if mode == "e2e":
         batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
         # default matches the shipped call_mods transfer path
@@ -553,10 +591,10 @@ def main():
     else:
         # the forward ceiling is batch-dependent (larger batches amortize
         # per-tile weight residency: r4 captures 490k @8192, 529.9k @16384,
-        # 543.0k @32768); the headline is the best operating point, every
-        # probed batch is recorded
+        # 543.0k @32768; r5 probe 549.2k @65536); the headline is the best
+        # operating point, every probed batch is recorded
         extra["forward_sites_per_s_b8192"] = round(sites_per_s, 1)
-        for bb in (16384, 32768):
+        for bb in (16384, 32768, 65536):
             key = "forward_sites_per_s_b{}".format(bb)
             try:
                 fb = bench_jax(batch=bb)

@@ -137,7 +137,7 @@ def main_call_mods(args):
         holeids_ne=args.holeids_ne, gzip_out=args.gzip,
         rnn_backend=args.rnn_backend, precision=args.precision,
         dispatch_fuse=args.dispatch_fuse, sort_mem_mb=args.sort_mem_mb,
-        transfer_quant=args.transfer_quant,
+        transfer_quant=args.transfer_quant, fetch_quant=args.fetch_quant,
         profile_dir=args.profile_dir, h0_mode=args.h0_mode, tseed=args.tseed,
         num_processes=args.num_processes, process_id=args.process_id)
     if args.input.endswith(".bam") or args.input.endswith(".sam"):
@@ -361,6 +361,12 @@ def get_parser() -> argparse.ArgumentParser:
                          "(218->134 B/site; zscore/mad norms; measured prob "
                          "drift 0.07 ML bytes). auto = int8 on the bf16 fast "
                          "path, none on the fp32 parity path")
+    gc.add_argument("--fetch_quant", type=str, default="auto",
+                    choices=["auto", "u8", "none"],
+                    help="modbam-path result fetch: u8 fetches on-device "
+                         "floor(p*256) ML bytes (1 B/site vs two bf16 probs; "
+                         "≤1 ML-byte drift). auto = u8 on the bf16 fast path, "
+                         "exact probs on the fp32 parity path")
     gc.add_argument("--profile_dir", type=str, default=None,
                     help="write a jax.profiler device trace here (xprof viewable)")
     gc.add_argument("--h0_mode", type=str, default="zeros",

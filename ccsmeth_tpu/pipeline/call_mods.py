@@ -107,6 +107,18 @@ class CallModsConfig:
             return ("int8" if self.precision == "bf16"
                     and self.norm in ("zscore", "mad") else "none")
         return self.transfer_quant
+    # result-fetch wire format for the modbam path: 'u8' fetches on-device
+    # floor(p1n*256) ML bytes (1 B/site instead of two bf16 probs — the
+    # streamed loop is wire-bound, PERF.md §3); equal to the host computation
+    # except within ~5e-7 of an ML boundary (≤1 ML byte, inside the fast
+    # path's envelope). 'auto': u8 on the bf16 fast path, exact probs on the
+    # fp32 parity path. The TSV path always fetches probs (6-decimal prints).
+    fetch_quant: str = "auto"  # auto | u8 | none
+
+    def resolved_fetch_mode(self) -> str:
+        if self.fetch_quant == "auto":
+            return "mlbyte" if self.precision == "bf16" else "probs"
+        return "mlbyte" if self.fetch_quant == "u8" else "probs"
     # share-nothing multi-process scale-out: stable hash of the read name picks
     # exactly one owner per read (parallel/distributed.owns_read); each process
     # writes its own output prefix and the shard modbams/TSVs union to the full
@@ -378,7 +390,8 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
                       else np.float32)
     predict = make_predict_fn(_apply_for(model_cfg, cfg.rnn_backend, cfg.precision),
                               params, model_cfg, transfer_dtype=transfer_dtype,
-                              kinetics_quant=cfg.resolved_transfer_quant())
+                              kinetics_quant=cfg.resolved_transfer_quant(),
+                              fetch_mode=cfg.resolved_fetch_mode())
     h0_draw = _h0_stream_for(cfg, model_cfg)
     n_dev = len(data_mesh().devices.ravel())
     pad_n = max(cfg.batch_size, n_dev) // n_dev * n_dev
@@ -518,9 +531,16 @@ def call_mods_bam(cfg: CallModsConfig, input_path: str, output_prefix: str) -> s
         read_preds: dict[int, list[tuple[int, float]]] = {}
         for tok, sub in subs:
             probs = fuser.collect(tok)[: sub.n_valid]
-            p0 = probs[:, 0].astype(np.float64)
-            p1 = probs[:, 1].astype(np.float64)
-            p1n = p1 / (p0 + p1)
+            if probs.dtype == np.uint8:
+                # ML-byte fetch (fetch_quant u8): ml -> a representative prob
+                # whose round(.,6)+floor(.*256) round-trips to the SAME byte
+                # for every ml in 0..255 (ml+0.5)/256 is ≥1.3e-4 from both
+                # boundaries after 6-decimal rounding)
+                p1n = (probs.astype(np.float64) + 0.5) / 256.0
+            else:
+                p0 = probs[:, 0].astype(np.float64)
+                p1 = probs[:, 1].astype(np.float64)
+                p1n = p1 / (p0 + p1)
             for j in range(sub.n_valid):
                 ridx = int(idx_map[sub.read_idx[j]])
                 read_preds.setdefault(ridx, []).append(

@@ -494,10 +494,31 @@ def make_eval_step(model_cfg, pos_weight: float, mesh=None):
     jit_packed = jax.jit(step_packed, in_shardings=(rep, batch_s),
                          out_shardings=(rep, batch_s, rep))
 
+    # fused validation sweep (r5, VERDICT r4 next #3): the whole staged valid
+    # set (n, B, n_cols) scans through ONE device call returning per-batch
+    # losses (n,) and per-batch metric counts (n, 5) — the training loop's
+    # per-interval validation then costs one dispatch + one small fetch
+    # instead of a dispatch + loss/counts round-trip per batch (the measured
+    # ~1.5 s/epoch RPC floor of trainm steady state, PERF.md §1). Counts are
+    # summed on the host in float64, matching the per-batch path's numerics.
+    mega_s = NamedSharding(mesh, P(None, "data"))
+
+    def step_packed_many(params, flats):
+        def body(c, flat):
+            loss, _pred, counts = step_packed(params, flat)
+            return c, (loss, counts)
+
+        _, (losses, counts) = jax.lax.scan(body, jnp.int32(0), flats)
+        return losses, counts
+
+    jit_packed_many = jax.jit(step_packed_many, in_shardings=(rep, mega_s),
+                              out_shardings=(rep, rep))
+
     def jstep(params, feats, labels, mask):
         return jit_dict(params, feats, labels, mask)
 
     jstep.packed = jit_packed
+    jstep.packed_many = jit_packed_many
     jstep.pack_batch = lambda feats, labels, mask: _pack_cols(fields, feats,
                                                               labels, mask)
     return jstep, mesh
@@ -672,34 +693,75 @@ def train(cfg: TrainConfig) -> dict:
     ckpts: list[str] = []
     is_main = jax.process_index() == 0
 
-    def run_valid(params):
-        """Global-batch validation: loss and [n, correct, tp, fp, fn] counts are
-        computed on-device over the full sharded batch and come back replicated,
-        so every process derives IDENTICAL metrics — and therefore identical
-        checkpoint/early-stop decisions (divergent decisions would strand the
-        other ranks inside a collective)."""
-        vlosses = []
-        csum = np.zeros(5, np.float64)
+    # fused device-resident validation (r5, VERDICT r4 next #3): the valid
+    # set is IDENTICAL at every interval (shuffle=False), so its packed
+    # batches transfer once and stay on device; each interval then costs ONE
+    # scanned eval dispatch + ONE small (n + n*5 floats) fetch instead of a
+    # dispatch + loss/counts RPC per batch — the measured ~1.5 s/epoch floor
+    # of trainm steady state (BASELINE.md r4 trainm row). Falls back to the
+    # streamed per-batch sweep when the caller asked for out-of-core loading
+    # (--dl_offsets) or the packed set exceeds the residency budget.
+    valid_staged: list = []  # [device (n, B, n_cols)] or [None] = fallback
+    VALID_RESIDENT_MB = 1024.0
+
+    def _stage_valid_resident():
+        if cfg.dl_offsets:  # valid file may not fit in RAM, let alone HBM
+            valid_staged.append(None)
+            return
         n_vbatch = (len(valid_ds) // (cfg.batch_size * n_proc) if n_proc > 1
                     else None)
-        staged = _prefetch(valid_ds.batches(
-            cfg.batch_size, False, nprng, pad_to=pad_n,
-            shard=((cfg.process_id, n_proc) if n_proc > 1 else None),
-            drop_remainder=n_proc > 1), stage_for(eval_step))
-        try:
-            for bi, flat in enumerate(staged):
-                if n_vbatch is not None and bi >= n_vbatch:
-                    break
-                loss, _pred, counts = eval_step.packed(params, flat)
-                vlosses.append(float(loss))
-                csum += np.asarray(counts, np.float64)
-        finally:
-            staged.close()
+        flats = []
+        for bi, b in enumerate(valid_ds.batches(
+                cfg.batch_size, False, nprng, pad_to=pad_n,
+                shard=((cfg.process_id, n_proc) if n_proc > 1 else None),
+                drop_remainder=n_proc > 1)):
+            if n_vbatch is not None and bi >= n_vbatch:
+                break
+            feats, labels, n_valid = b
+            mask = np.zeros(pad_n, np.float32)
+            mask[:n_valid] = 1.0
+            flats.append(eval_step.pack_batch(feats, labels, mask))
+        if not flats or sum(f.nbytes for f in flats) / 1e6 > VALID_RESIDENT_MB:
+            valid_staged.append(None)
+            return
+        valid_staged.append(to_global_many(np.stack(flats)))
+
+    def run_valid(params):
+        """Global-batch validation: losses and [n, correct, tp, fp, fn] counts
+        are computed on-device over the full sharded batch and come back
+        replicated, so every process derives IDENTICAL metrics — and therefore
+        identical checkpoint/early-stop decisions (divergent decisions would
+        strand the other ranks inside a collective)."""
+        if not valid_staged:
+            _stage_valid_resident()
+        if valid_staged[0] is not None:
+            losses, counts = eval_step.packed_many(params, valid_staged[0])
+            vloss = float(np.mean(np.asarray(losses)))
+            csum = np.asarray(counts, np.float64).sum(axis=0)
+        else:
+            vlosses = []
+            csum = np.zeros(5, np.float64)
+            n_vbatch = (len(valid_ds) // (cfg.batch_size * n_proc)
+                        if n_proc > 1 else None)
+            staged = _prefetch(valid_ds.batches(
+                cfg.batch_size, False, nprng, pad_to=pad_n,
+                shard=((cfg.process_id, n_proc) if n_proc > 1 else None),
+                drop_remainder=n_proc > 1), stage_for(eval_step))
+            try:
+                for bi, flat in enumerate(staged):
+                    if n_vbatch is not None and bi >= n_vbatch:
+                        break
+                    loss, _pred, counts = eval_step.packed(params, flat)
+                    vlosses.append(float(loss))
+                    csum += np.asarray(counts, np.float64)
+            finally:
+                staged.close()
+            vloss = float(np.mean(vlosses)) if vlosses else 0.0
         n, correct, tp, fp, fn = csum
         acc = correct / n if n else 0.0
         prec = tp / (tp + fp) if (tp + fp) else 0.0
         rec = tp / (tp + fn) if (tp + fn) else 0.0
-        return float(np.mean(vlosses)) if vlosses else 0.0, acc, prec, rec
+        return vloss, acc, prec, rec
 
     stop = False
     epoch_walls: list[float] = []  # epoch 1 includes compiles; 2+ are steady-state

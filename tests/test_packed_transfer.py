@@ -8,6 +8,8 @@ bit-equality of the packed path against the per-channel path (and the h0
 replay variant) on CPU, across transfer dtypes and optional channels.
 """
 
+import dataclasses
+
 import ml_dtypes
 import numpy as np
 import pytest
@@ -186,6 +188,127 @@ def test_u16_npass_wire_exact_for_integer_passes():
                          kinetics_quant="int8")
     np.testing.assert_array_equal(np.asarray(pf(feats)),
                                   np.asarray(pq(feats)))
+
+
+def test_mlbyte_fetch_matches_host_ml_bytes():
+    """fetch_mode='mlbyte' (r5): the jit epilogue ships floor(p1n*256) uint8
+    ML bytes (1 B/site result RPC). Must match the host-side computation
+    (utils/codecs.convert_probs_to_mltag on round(p1n, 6)) except within the
+    ~5e-7 six-decimal rounding band of an ML boundary (≤1 byte)."""
+    from ccsmeth_tpu.utils.codecs import convert_probs_to_mltag
+
+    cfg = AttRNNConfig(dropout_rate=0.0)
+    params = init_attrnn(1234, cfg)
+    pp = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg)
+    pm = make_predict_fn(_apply_for(cfg, "xla", "fp32"), params, cfg,
+                         fetch_mode="mlbyte")
+    feats = _feats(256)
+    probs = np.asarray(pp(feats), np.float64)
+    host_ml = np.asarray(convert_probs_to_mltag(
+        [round(float(p1 / (p0 + p1)), 6) for p0, p1 in probs]), np.int64)
+    got = pm(feats)
+    assert got.dtype == np.uint8 and got.shape == (256,)
+    diff = np.abs(got.astype(np.int64) - host_ml)
+    assert diff.max() <= 1 and (diff == 0).mean() > 0.9
+    # fused megabatch + pipelined async path carry the same u8 epilogue
+    arr = pm.collect(pm.dispatch_many_async([feats, feats]))
+    assert arr.dtype == np.uint8 and arr.shape == (2, 256)
+    np.testing.assert_array_equal(arr[0], got)
+    pp.close()
+    pm.close()
+
+
+def test_call_mods_bam_u8_fetch_matches_probs_fetch(tmp_path):
+    """call_mods --fetch_quant u8 end-to-end: output modbam ML bytes within
+    1 of the exact probs-fetch run (same model, same reads), MM identical."""
+    pytest.importorskip("torch")
+    from tests.synth import make_synth_bam
+    from tests.test_call_mods_e2e import _make_ckpt
+    from ccsmeth_tpu.bamio import BamReader
+    from ccsmeth_tpu.pipeline.call_mods import CallModsConfig, call_mods_bam
+
+    bam = str(tmp_path / "in.bam")
+    make_synth_bam(bam, n_reads=6, read_len=200, ref_len=2000, seed=13)
+    _tm, ckpt = _make_ckpt(tmp_path)
+
+    def tags(path):
+        return {r.qname: (r.get_tag("MM") if r.has_tag("MM") else None,
+                          np.asarray(r.get_tag("ML"), np.int64)
+                          if r.has_tag("ML") else None)
+                for r in BamReader(path)}
+
+    base = CallModsConfig(model_file=ckpt, mode="denovo", batch_size=32)
+    ref = tags(call_mods_bam(base, bam, str(tmp_path / "p")))
+    cfg8 = dataclasses.replace(base, fetch_quant="u8")
+    got = tags(call_mods_bam(cfg8, bam, str(tmp_path / "u")))
+    assert set(got) == set(ref)
+    n_ml = 0
+    for q, (mm, ml) in got.items():
+        mm_r, ml_r = ref[q]
+        assert mm == mm_r
+        if ml_r is not None:
+            n_ml += len(ml_r)
+            assert np.abs(ml - ml_r).max() <= 1
+    assert n_ml > 0
+
+
+def test_adaptive_put_gate_probes_and_picks_winner():
+    """_AdaptivePutGate (r5): probes each stream limit on live puts, keeps
+    the measured winner, preserves FIFO admission, and re-probes after the
+    steady phase."""
+    from ccsmeth_tpu.parallel.mesh import _AdaptivePutGate
+
+    gate = _AdaptivePutGate(limits=(2, 1))
+    t = [0.0]
+
+    def put(duration, nbytes=1_000_000):
+        tk = gate.ticket()
+        gate.enter(tk)
+        t0 = t[0]
+        t[0] += duration
+        gate.exit(t0, t[0], nbytes)
+
+    put(0.1)  # warmup skip
+    # probe limit=2: 3 puts at 0.1 s each (serialized fake clock -> 10 MB/s)
+    for _ in range(3):
+        put(0.1)
+    assert gate._limit == 1  # moved on to probing limit=1
+    for _ in range(3):
+        put(0.05)  # 20 MB/s — limit=1 wins
+    assert gate._limit == 1
+    assert gate.history and gate.history[-1][0] == 1
+    snap = gate.snapshot()
+    assert snap["limit"] == 1 and snap["history"]
+    # steady phase runs STEADY_N puts then re-probes the other limit
+    for _ in range(_AdaptivePutGate.STEADY_N):
+        put(0.05)
+    assert gate._limit == 2  # loser probed first on re-probe
+    # FIFO tickets: enter() order must match issue order even out-of-order
+    import threading as th
+
+    order = []
+    tk1, tk2 = gate.ticket(), gate.ticket()
+
+    def late():
+        gate.enter(tk2)
+        order.append(2)
+        gate.exit(0.0, 0.01, 1)
+
+    thr = th.Thread(target=late)
+    thr.start()
+    import time as _t
+
+    _t.sleep(0.05)
+    gate.enter(tk1)
+    order.append(1)
+    gate.exit(0.0, 0.01, 1)
+    thr.join(5.0)
+    assert order == [1, 2]
+    # cancelled tickets (failed pack stage) must not strand FIFO admission
+    tk3, tk4 = gate.ticket(), gate.ticket()
+    gate.cancel(tk3)
+    gate.enter(tk4)  # would deadlock if tk3 blocked admission
+    gate.exit(0.0, 0.01, 1)
 
 
 def test_pipelined_async_dispatch_propagates_pack_errors():

@@ -137,6 +137,44 @@ def test_train_step_sharded_multidevice():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_eval_step_fused_matches_per_batch():
+    """The fused validation sweep (eval_step.packed_many, one scanned device
+    call over the staged (n, B, cols) valid set — r5) must reproduce the
+    per-batch path's losses and metric counts exactly."""
+    from ccsmeth_tpu.training.train import make_eval_step
+
+    cfg = AttRNNConfig(num_layers=1, hidden_size=16, dropout_rate=0.0)
+    params = init_attrnn(3, cfg)
+    estep, _mesh = make_eval_step(cfg, pos_weight=1.5)
+    rng = np.random.RandomState(1)
+    B, L, n = 16, 21, 3
+    flats = []
+    ref_losses, ref_counts = [], []
+    for i in range(n):
+        feats = {}
+        for s in ("", "2"):
+            feats["kmer" + s] = rng.randint(0, 5, (B, L)).astype(np.float32)
+            feats["kpass" + s] = np.full((B, L), 5.0, np.float32)
+            feats["ipd_means" + s] = rng.randn(B, L).astype(np.float32)
+            feats["pw_means" + s] = rng.randn(B, L).astype(np.float32)
+            feats["ipd_stds" + s] = np.zeros((B, L), np.float32)
+            feats["pw_stds" + s] = np.zeros((B, L), np.float32)
+            feats["sns" + s] = np.zeros((B, 4), np.float32)
+            feats["maps" + s] = np.zeros((B, L), np.float32)
+        labels = rng.randint(0, 2, B).astype(np.int32)
+        mask = np.ones(B, np.float32)
+        mask[B - 1 - i:] = 0.0  # exercise padded rows
+        flat = estep.pack_batch(feats, labels, mask)
+        flats.append(flat)
+        loss, _pred, counts = estep.packed(params, flat)
+        ref_losses.append(float(loss))
+        ref_counts.append(np.asarray(counts))
+    losses, counts = estep.packed_many(params, np.stack(flats))
+    np.testing.assert_array_equal(np.asarray(losses),
+                                  np.asarray(ref_losses, np.float32))
+    np.testing.assert_array_equal(np.asarray(counts), np.stack(ref_counts))
+
+
 def test_train_e2e_learns(tmp_path):
     tr = str(tmp_path / "train.tsv")
     va = str(tmp_path / "valid.tsv")
