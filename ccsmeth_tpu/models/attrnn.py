@@ -82,20 +82,12 @@ def init_src_embed(rng, input_dim, d_model, block_plus=1):
     return params
 
 
-def _conv1d_same(x, w, compute_dtype=None):
-    """x: (N, L, Cin), w: (Cout, Cin, K) torch layout, stride 1, pad K//2, no bias.
-
-    compute_dtype=bf16 runs the conv contraction on bf16 operands with f32
-    accumulation (the transenc fast path's embed prologue, r5); None keeps
-    full fp32 (parity paths, training)."""
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        w = w.astype(compute_dtype)
+def _conv1d_same(x, w):
+    """x: (N, L, Cin), w: (Cout, Cin, K) torch layout, stride 1, pad K//2, no bias."""
     return jax.lax.conv_general_dilated(
         x, jnp.transpose(w, (2, 1, 0)), window_strides=(1,),
         padding=[(w.shape[-1] // 2, w.shape[-1] // 2)],
         dimension_numbers=("NLC", "LIO", "NLC"),
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -114,16 +106,12 @@ def _maxpool1d_same(x, k=3):
     )
 
 
-def apply_src_embed(params, x, train=False, compute_dtype=None):
-    """x: (N, L, Cin) -> (N, L, d_model); conv->BN->ReLU->maxpool x2 (+plus blocks).
-
-    compute_dtype=bf16: conv operands in bf16 (f32 accumulation; BN/ReLU/pool
-    stay f32) — the lossy-fast-path option for the transenc embed prologue."""
-    cd = compute_dtype
-    h = _maxpool1d_same(jax.nn.relu(_bn(_conv1d_same(x, params["conv1"], cd), params["bn1"], train)))
-    h = _maxpool1d_same(jax.nn.relu(_bn(_conv1d_same(h, params["conv2"], cd), params["bn2"], train)))
+def apply_src_embed(params, x, train=False):
+    """x: (N, L, Cin) -> (N, L, d_model); conv->BN->ReLU->maxpool x2 (+plus blocks)."""
+    h = _maxpool1d_same(jax.nn.relu(_bn(_conv1d_same(x, params["conv1"]), params["bn1"], train)))
+    h = _maxpool1d_same(jax.nn.relu(_bn(_conv1d_same(h, params["conv2"]), params["bn2"], train)))
     for blk in params["plus"]:
-        h = _maxpool1d_same(jax.nn.relu(_bn(_conv1d_same(h, blk["conv"], cd), blk["bn"], train)))
+        h = _maxpool1d_same(jax.nn.relu(_bn(_conv1d_same(h, blk["conv"]), blk["bn"], train)))
     return h
 
 

@@ -139,15 +139,13 @@ def _strand_embed(params, cfg: TransEncConfig, f, suffix, dropout_rng, train,
 
 
 def _embed_strand_input(params, cfg: TransEncConfig, f, suffix, dropout_rng,
-                        train, embed_dtype=None):
+                        train):
     """One strand's embedded + positioned encoder input (N, L, d_model).
 
     The trans_input src_embed keeps XLA's native conv lowering on every
     path: an im2col-matmul formulation was measured SLOWER on-chip
     (0.50-0.55 vs 0.36 µs/strand-sample, ops_experiments/src_embed_ablate.py
-    r4c capture) and was deleted. embed_dtype=bf16 runs the conv-stack
-    contractions on bf16 operands (f32 accumulation) — the pallas fast
-    path's embed option (r5, VERDICT r4 next #6); None keeps fp32 parity."""
+    r4c capture) and was deleted."""
     L = cfg.seq_len
     parts = [
         jnp.take(params["seq_embed"], f["kmer" + suffix].astype(jnp.int32), axis=0),
@@ -159,21 +157,17 @@ def _embed_strand_input(params, cfg: TransEncConfig, f, suffix, dropout_rng,
         parts.append(jnp.take(params["npass_embed"], kp, axis=0))
     if cfg.is_stds:
         parts.append(apply_src_embed(params["ipd_std_embed"],
-                                     f["ipd_stds" + suffix].reshape(-1, L, 1).astype(jnp.float32), train,
-                                     compute_dtype=embed_dtype))
+                                     f["ipd_stds" + suffix].reshape(-1, L, 1).astype(jnp.float32), train))
         parts.append(apply_src_embed(params["pw_std_embed"],
-                                     f["pw_stds" + suffix].reshape(-1, L, 1).astype(jnp.float32), train,
-                                     compute_dtype=embed_dtype))
+                                     f["pw_stds" + suffix].reshape(-1, L, 1).astype(jnp.float32), train))
     if cfg.is_sn:
         sns = jnp.broadcast_to(f["sns" + suffix][:, None, :],
                                (f["sns" + suffix].shape[0], L, 4)).astype(jnp.float32)
-        parts.append(apply_src_embed(params["sn_embed"], sns, train,
-                                     compute_dtype=embed_dtype))
+        parts.append(apply_src_embed(params["sn_embed"], sns, train))
     if cfg.is_map:
         parts.append(jnp.take(params["map_embed"], f["maps" + suffix].astype(jnp.int32), axis=0))
     x = jnp.concatenate(parts, axis=2)
-    x = apply_src_embed(params["trans_input"], x, train,
-                        compute_dtype=embed_dtype)
+    x = apply_src_embed(params["trans_input"], x, train)
     x = x + params["pos_embed"][None, :, :]
     if train:
         dropout_rng, sub = jax.random.split(dropout_rng)
@@ -196,11 +190,8 @@ def apply_transenc(params: dict, cfg: TransEncConfig, feats: dict,
         # amortize weight residency per tile
         from ..ops.transenc_pallas import encoder_pooled_pallas
 
-        ed = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else None
-        x1, _ = _embed_strand_input(params, cfg, feats, "", rng1, train,
-                                    embed_dtype=ed)
-        x2, _ = _embed_strand_input(params, cfg, feats, "2", rng2, train,
-                                    embed_dtype=ed)
+        x1, _ = _embed_strand_input(params, cfg, feats, "", rng1, train)
+        x2, _ = _embed_strand_input(params, cfg, feats, "2", rng2, train)
         B = x1.shape[0]
         x = jnp.concatenate([x1, x2], axis=0)
         if compute_dtype == jnp.bfloat16:
