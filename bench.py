@@ -261,11 +261,15 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
         return collected / (time.perf_counter() - t0)
 
     # headline = the shipped pipeline path (packed rows fused k-per-dispatch +
-    # two-stage pack->put pipeline, exactly what pipeline/call_mods.py uses
-    # with its dispatch_fuse=8 default), reported as the MEDIAN of 3 runs —
-    # tunnel wire rate swings run-to-run (VERDICT r3 weak #3); per-batch
-    # async/serial/unpacked kept for attribution of what each fix buys
-    mega_runs = sorted(round(stream_mega(), 1) for _ in range(3))
+    # pipelined pack->put->fetch stages, exactly what pipeline/call_mods.py
+    # uses with its dispatch_fuse=8 default), reported as the MEDIAN of 3
+    # runs — tunnel wire rate swings run-to-run (VERDICT r3 weak #3). Each
+    # run streams 2x n_batches so the fill/drain tails of the megabatch
+    # pipeline (~1.5 periods) don't eat >10% of the measured window — the
+    # production loop runs for minutes, the bench should measure steady
+    # state. Per-batch async/serial/unpacked keep the per-fix attribution.
+    mega_runs = sorted(round(stream_mega(n=2 * n_batches), 1)
+                       for _ in range(3))
     out = {"sites_per_s": mega_runs[1], "mega_runs": mega_runs,
            "put_gate": (predict.put_gate.snapshot()
                         if predict.put_gate is not None else None),

@@ -413,14 +413,20 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
             return _predict_mega(staged)
         _put_gate.enter(gate_ticket)
         t0 = time.perf_counter()
+        out = None
         try:
             staged = {k: jax.device_put(v, mega_sharding)
                       for k, v in mega.items()}
+            # enqueue compute BEFORE blocking on the transfer: the dispatch
+            # RPC (~12 ms) rides the wire concurrently with the put's tail
+            # instead of serializing after it; the block below only paces the
+            # gate + feeds its rate measurement
+            out = _predict_mega(staged)
             jax.block_until_ready(staged)
         finally:
             _put_gate.exit(t0, time.perf_counter(),
                            sum(v.nbytes for v in mega.values()))
-        return _predict_mega(staged)
+        return out
 
     def dispatch_many(feats_list):
         """Fuse k same-shape batches into one device call; returns a device
