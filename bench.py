@@ -218,11 +218,12 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     predict.collect(predict.dispatch_unpacked(host_batches[0]))
     predict.collect(predict.dispatch_many(host_batches[:2] * (fuse // 2)))
     # converge the adaptive put gate before timing (1 warmup-skip put + a
-    # 3+3 probe cycle of both stream limits = 7 gated puts; production runs
-    # are long so the headline measures the steady-state decision)
+    # 3-put probe per stream limit = 10 gated puts for limits (2,1,3);
+    # production runs are long so the headline measures the steady-state
+    # decision)
     for f in [predict.dispatch_many_async(
             [host_batches[j % len(host_batches)] for j in range(fuse)])
-            for _ in range(8)]:
+            for _ in range(11)]:
         predict.collect(f)
 
     def stream(dispatch_fn, n=n_batches):
@@ -328,16 +329,19 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     # swings (ADVICE r4), and the bound this feeds should not ride an outlier.
     from concurrent.futures import ThreadPoolExecutor
 
-    c2_reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            list(ex.map(lambda _: jax.block_until_ready(
-                jax.device_put(mega_buf, predict.mega_sharding)), range(4)))
-        c2_reps.append(round(
-            4 * mega_buf.nbytes / 1e6 / (time.perf_counter() - t0), 1))
-    out["put_mbps_mega_c2"] = sorted(c2_reps)[1]
-    out["put_mbps_mega_c2_reps"] = c2_reps
+    for nstream in (2, 3):
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=nstream) as ex:
+                list(ex.map(lambda _: jax.block_until_ready(
+                    jax.device_put(mega_buf, predict.mega_sharding)),
+                    range(2 * nstream)))
+            reps.append(round(2 * nstream * mega_buf.nbytes / 1e6
+                              / (time.perf_counter() - t0), 1))
+        key = "put_mbps_mega_c{}".format(nstream)
+        out[key] = sorted(reps)[1]
+        out[key + "_reps"] = reps
     # (b) device-resident streaming: inputs staged once, same dispatch loop —
     # isolates pipeline overhead from the transfer path
     staged_batches = [
@@ -395,7 +399,8 @@ def bench_e2e_stream(batch: int = 8192, n_batches: int = 48, depth: int = 8,
     # >= ~0.9 say the pipeline delivers the link's worth; << 1 indicates
     # pipeline slack (PERF.md §3). Mild >1 can still occur when the wire
     # rate drifts between the probe and the streaming window.
-    wire_bound = (max(out["put_mbps_mega"], out["put_mbps_mega_c2"])
+    wire_bound = (max(out["put_mbps_mega"], out["put_mbps_mega_c2"],
+                      out["put_mbps_mega_c3"])
                   * 1e6 / out["row_bytes"])
     bound = min(max(1.0, wire_bound), out["resident_mega_sites_per_s"])
     out["window_bound_sites_per_s"] = round(bound, 1)

@@ -151,7 +151,7 @@ def replicated_spec(mesh: Mesh) -> NamedSharding:
 
 def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
                     transfer_dtype=np.float32, dispatch_workers: int = 2,
-                    kinetics_quant: str = "none", put_streams: int = 2,
+                    kinetics_quant: str = "none", put_streams: int = 3,
                     fetch_mode: str = "probs"):
     """Build a jitted data-parallel predict step: feats dict -> softmax probs (B, C).
 
@@ -503,7 +503,11 @@ def make_predict_fn(apply_fn, params, cfg, mesh: Mesh | None = None,
     _put_pool = (ThreadPoolExecutor(max_workers=max(1, put_streams),
                                     thread_name_prefix="ccs-put")
                  if dispatch_workers > 0 else None)
-    _put_gate = (_AdaptivePutGate(limits=(put_streams, 1))
+    # probe order: 2 streams (the common multiplexing win), then 1 (strictly
+    # serializing windows), then deeper if allowed (the r4 driver window
+    # measured 2 streams at 2.4x serial — superlinear, so 3 may extract more)
+    _gate_limits = (2, 1) + tuple(range(3, put_streams + 1))
+    _put_gate = (_AdaptivePutGate(limits=_gate_limits)
                  if dispatch_workers > 0 and put_streams > 1 else None)
     # fetch stage: one thread resolves result RPCs in dispatch order so the
     # consumer's collect() never blocks on device compute + wire
