@@ -543,6 +543,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the env vars above are read at jax-import time, but this image's
+    # sitecustomize imports jax BEFORE main() runs, so set the config
+    # explicitly too — r5 cache_probe proved the axon backend DOES write and
+    # read the persistent cache when configured this way (the r4 "never
+    # writes" finding was this ordering bug). A pre-seeded .jax_cache then
+    # turns the ~25 min of cold driver-bench compiles into cache hits.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception as e:  # noqa: BLE001 — cache is an optimization only
+        print("persistent-cache config unavailable: {}".format(e),
+              file=sys.stderr)
     jax.devices()
     float(jnp.ones((2, 2)).sum())  # backend up + first executable round-trip
     disarm()
