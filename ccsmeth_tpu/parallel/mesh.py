@@ -53,7 +53,6 @@ class _AdaptivePutGate:
         # measurement state (guarded by _cv's lock)
         self._recs: list[tuple[float, float, int]] = []  # (t0, t1, nbytes)
         self._skipped_warmup = False
-        self._phase = 0  # index into probe schedule; >=len => steady
         self._steady_left = 0
         self._rates = {}  # limit -> last measured MB/s
         self.history: list[tuple[int, float]] = []  # (limit, MB/s) decided
@@ -126,7 +125,6 @@ class _AdaptivePutGate:
             best = self._limit
         self._limit = best
         self.history.append((best, round(self._rates[best], 1)))
-        self._rates = {k: v for k, v in self._rates.items() if k == best}
         self._steady_left = self.STEADY_N
 
     def snapshot(self) -> dict:
