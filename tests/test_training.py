@@ -175,6 +175,36 @@ def test_eval_step_fused_matches_per_batch():
     np.testing.assert_array_equal(np.asarray(counts), np.stack(ref_counts))
 
 
+def test_valid_set_staged_on_device_once(tmp_path, monkeypatch):
+    """The r5 fused validation stages the valid set on device ONCE and reuses
+    it at every interval — the mechanism behind the trainm steady-epoch win
+    (one scanned dispatch per interval instead of per-batch RPCs). Gate: the
+    valid dataset's batches() must be iterated exactly once across a run
+    with many validation intervals."""
+    from ccsmeth_tpu.training import data as data_mod
+    from ccsmeth_tpu.training import TrainConfig, train
+
+    tr, va = str(tmp_path / "tr.tsv"), str(tmp_path / "va.tsv")
+    _write_feature_tsv(tr, 128, seed=1)
+    _write_feature_tsv(va, 64, seed=2)
+    orig = data_mod.FeatureDataset.batches
+    calls = {"valid": 0}
+
+    def counting(self, batch_size, shuffle, *a, **k):
+        if not shuffle:
+            calls["valid"] += 1
+        return orig(self, batch_size, shuffle, *a, **k)
+
+    monkeypatch.setattr(data_mod.FeatureDataset, "batches", counting)
+    cfg = TrainConfig(train_file=tr, valid_file=va,
+                      model_dir=str(tmp_path / "m"), layer_rnn=1, hid_rnn=16,
+                      batch_size=32, max_epoch_num=3, min_epoch_num=3,
+                      step_interval=2, tseed=5)
+    train(cfg)
+    # 3 epochs x 2 intervals each = 6 run_valid calls, 1 staging iteration
+    assert calls["valid"] == 1
+
+
 def test_train_e2e_learns(tmp_path):
     tr = str(tmp_path / "train.tsv")
     va = str(tmp_path / "valid.tsv")
